@@ -1,0 +1,32 @@
+from .nn import (
+    conv2d,
+    conv_transpose2d,
+    depthwise_conv2d,
+    prelu,
+    leaky_relu,
+    relu6,
+    pixel_shuffle,
+    space_to_depth,
+    pad2d,
+)
+from .resize import resize, resize_nchw
+from .color import (
+    gaussian_kernel_2d,
+    sharpen_kernel_2d,
+    blur,
+    sharpen,
+    global_color_match,
+    local_color_match,
+    to_float,
+    to_uint8,
+)
+from .warp import backward_warp, grid_sample_bilinear
+
+__all__ = [
+    "conv2d", "conv_transpose2d", "depthwise_conv2d", "prelu", "leaky_relu",
+    "relu6", "pixel_shuffle", "space_to_depth", "pad2d",
+    "resize", "resize_nchw",
+    "gaussian_kernel_2d", "sharpen_kernel_2d", "blur", "sharpen",
+    "global_color_match", "local_color_match", "to_float", "to_uint8",
+    "backward_warp", "grid_sample_bilinear",
+]

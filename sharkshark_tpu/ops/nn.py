@@ -1,0 +1,153 @@
+"""Core NN primitives in NHWC for TPU (conv, transposed conv, activations,
+pixel shuffle, padding).
+
+Layout note: everything here is NHWC/HWIO — the layout XLA:TPU tiles best —
+whereas the reference is NCHW torch (e.g. src/upscale/model/fsrcnn/model.py,
+model/realesrgan/factory.py:18-82).  Weight import transposes once at load
+time (models/torch_import.py); no per-step layout shuffling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "conv2d",
+    "conv_transpose2d",
+    "depthwise_conv2d",
+    "prelu",
+    "leaky_relu",
+    "relu6",
+    "pixel_shuffle",
+    "space_to_depth",
+    "pad2d",
+]
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int | tuple[int, int] = 1,
+    padding: int | tuple[int, int] = 0,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """2-D convolution. x: NHWC, w: HWIO (I = in_ch // groups)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = ((padding[0], padding[0]), (padding[1], padding[1]))
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv_transpose2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+    output_padding: int = 0,
+) -> jnp.ndarray:
+    """Transposed conv with torch ConvTranspose2d semantics.
+
+    x: NHWC; w: HWIO laid out for the *forward* direction of this op
+    (I = in_ch of x, O = out_ch), spatially flipped at import time.
+    Implemented as an input-dilated convolution: out spatial =
+    (in-1)*stride - 2*padding + kernel + output_padding, matching
+    e.g. FSRCNN's deconv head (reference model.py:46).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    pad_lo_h = kh - 1 - padding
+    pad_lo_w = kw - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=(
+            (pad_lo_h, pad_lo_h + output_padding),
+            (pad_lo_w, pad_lo_w + output_padding),
+        ),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def depthwise_conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    padding: int = 0,
+    pad_mode: str = "zero",
+) -> jnp.ndarray:
+    """Depthwise conv; w: HWI1 -> applied per channel.  pad_mode 'reflect'
+    mirrors torch's padding_mode='reflect' used by the gaussian blur /
+    sharpen kernels (reference fsrcnn_upscaler.py:47-48,76-80)."""
+    c = x.shape[-1]
+    if pad_mode != "zero" and padding > 0:
+        x = pad2d(x, padding, mode=pad_mode)
+        padding = 0
+    kh, kw, _, _ = w.shape
+    w = jnp.broadcast_to(w, (kh, kw, 1, c)) if w.shape[-1] != c else w
+    return conv2d(x, w, stride=1, padding=padding, groups=c)
+
+
+def pad2d(x: jnp.ndarray, pad: int | tuple[int, int, int, int], mode: str = "reflect") -> jnp.ndarray:
+    """Spatial pad of NHWC. pad: int or (left, right, top, bottom) like
+    torch F.pad's last-two-dims order."""
+    if isinstance(pad, int):
+        left = right = top = bottom = pad
+    else:
+        left, right, top, bottom = pad
+    jmode = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}[mode]
+    cfg = [(0, 0)] * (x.ndim - 3) + [(top, bottom), (left, right), (0, 0)]
+    return jnp.pad(x, cfg, mode=jmode)
+
+
+def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """PReLU with per-channel alpha (last axis)."""
+    a = alpha.astype(x.dtype)
+    return jnp.where(x >= 0, x, a * x)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * jnp.asarray(negative_slope, x.dtype))
+
+
+def relu6(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, 0, 6)
+
+
+def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """NHWC pixel shuffle matching torch nn.PixelShuffle channel order:
+    input channel index (c_out * r + dy) * r + dx -> spatial (dy, dx)."""
+    n, h, w, c = x.shape
+    r = factor
+    c_out = c // (r * r)
+    x = x.reshape(n, h, w, c_out, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r(dy), w, r(dx), c_out
+    return x.reshape(n, h * r, w * r, c_out)
+
+
+def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Inverse of pixel_shuffle with the channel order used by EGVSR's
+    space_to_depth (reference utils/net_utils.py:36-47): output channel
+    index = (dy * r + dx) * c + c_in ... i.e. block offset major."""
+    n, h, w, c = x.shape
+    r = factor
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h', w', dy, dx, c
+    return x.reshape(n, h // r, w // r, r * r * c)

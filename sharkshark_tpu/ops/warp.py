@@ -1,0 +1,75 @@
+"""Backward warping (flow-based resampling) for frame-recurrent VSR.
+
+TPU rewrite of EGVSR's `backward_warp` (reference
+src/upscale/model/egvsr/utils/net_utils.py:50-93): bilinear
+`grid_sample(align_corners=True, padding_mode='border')` driven by a dense
+optical-flow field.  Implemented as a flat gather over H*W with computed
+bilinear weights — static shapes, XLA-lowered gather; a Pallas variant can
+slot in behind the same signature if the gather shows up in profiles.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["backward_warp", "grid_sample_bilinear"]
+
+
+def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling with border padding and align_corners=True.
+
+    x: (N, H, W, C); grid: (N, H', W', 2) normalized coords in [-1, 1],
+    grid[..., 0] = x (width), grid[..., 1] = y (height).
+    """
+    n, h, w, c = x.shape
+    gh, gw = grid.shape[1], grid.shape[2]
+    gf = grid.astype(jnp.float32)
+
+    # align_corners=True: -1 -> 0, +1 -> size-1
+    fx = (gf[..., 0] + 1.0) * ((w - 1) / 2.0)
+    fy = (gf[..., 1] + 1.0) * ((h - 1) / 2.0)
+    fx = jnp.clip(fx, 0.0, w - 1)
+    fy = jnp.clip(fy, 0.0, h - 1)
+
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    wx = fx - x0
+    wy = fy - y0
+
+    x0i = x0.astype(jnp.int32)
+    x1i = x1.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+
+    flat = x.reshape(n, h * w, c).astype(jnp.float32)
+
+    def gather(yi, xi):
+        idx = yi * w + xi  # (N, gh, gw)
+        return jnp.take_along_axis(
+            flat, idx.reshape(n, gh * gw, 1), axis=1
+        ).reshape(n, gh, gw, c)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+
+
+def backward_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp `x` backward along `flow` (both NHWC; flow has C=2 = (dx, dy)
+    in pixels).  Equivalent to sampling x at (u + dx, v + dy)."""
+    n, h, w, _ = x.shape
+    iu = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)[None, None, :]
+    iv = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)[None, :, None]
+    gx = iu + flow[..., 0].astype(jnp.float32) / ((w - 1.0) / 2.0)
+    gy = iv + flow[..., 1].astype(jnp.float32) / ((h - 1.0) / 2.0)
+    grid = jnp.stack([gx, gy], axis=-1)
+    return grid_sample_bilinear(x, grid)
