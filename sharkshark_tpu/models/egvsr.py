@@ -1,0 +1,235 @@
+"""EGVSR / FRNet — frame-recurrent video super-resolution.
+
+Capability parity with reference src/upscale/model/egvsr/egvsr.py:12-265:
+FNet (3-level conv encoder/decoder optical flow, tanh * 24 max velocity),
+SRNet (space-to-depth concat of the warped previous HR frame -> 16 residual
+blocks -> PixelShuffle(4) -> out conv), and the FRNet recurrence
+flow -> upsample-flow -> backward-warp(hr_prev) -> space_to_depth -> SRNet.
+
+TPU design: the training unroll (`forward_sequence`, reference :214-265)
+and streaming inference (`infer_sequence`, :267+) are both `lax.scan`s over
+the time axis with an (lr_prev, hr_prev) carry pytree — the recurrence
+state stays in HBM across frames.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (
+    backward_warp,
+    conv2d,
+    leaky_relu,
+    pad2d,
+    pixel_shuffle,
+    resize,
+    space_to_depth,
+)
+from .torch_import import conv_from_torch
+
+
+class EGVSRConfig(NamedTuple):
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 16
+    scale: int = 4
+    degradation: str = "BI"  # flow upsample: bilinear (BI); BD uses bicubic
+
+
+DEFAULT = EGVSRConfig()
+
+
+def _conv_init(key, kh, kw, i, o):
+    fan_in = i * kh * kw
+    w = jax.random.normal(key, (kh, kw, i, o), jnp.float32) * np.sqrt(2.0 / fan_in)
+    return {"w": w, "b": jnp.zeros((o,), jnp.float32)}
+
+
+def init_params(key: jax.Array, cfg: EGVSRConfig = DEFAULT) -> dict:
+    ks = iter(jax.random.split(key, 64))
+    c = cfg.in_nc
+
+    fnet = {
+        "enc1": [_conv_init(next(ks), 3, 3, 2 * c, 32), _conv_init(next(ks), 3, 3, 32, 32)],
+        "enc2": [_conv_init(next(ks), 3, 3, 32, 64), _conv_init(next(ks), 3, 3, 64, 64)],
+        "enc3": [_conv_init(next(ks), 3, 3, 64, 128), _conv_init(next(ks), 3, 3, 128, 128)],
+        "dec1": [_conv_init(next(ks), 3, 3, 128, 256), _conv_init(next(ks), 3, 3, 256, 256)],
+        "dec2": [_conv_init(next(ks), 3, 3, 256, 128), _conv_init(next(ks), 3, 3, 128, 128)],
+        "dec3": [_conv_init(next(ks), 3, 3, 128, 64), _conv_init(next(ks), 3, 3, 64, 64)],
+        "flow": [_conv_init(next(ks), 3, 3, 64, 32), _conv_init(next(ks), 3, 3, 32, 2)],
+    }
+    srnet = {
+        "conv_in": _conv_init(next(ks), 3, 3, (cfg.scale**2 + 1) * c, cfg.nf),
+        "blocks": [
+            [_conv_init(next(ks), 3, 3, cfg.nf, cfg.nf), _conv_init(next(ks), 3, 3, cfg.nf, cfg.nf)]
+            for _ in range(cfg.nb)
+        ],
+        "conv_out": _conv_init(next(ks), 3, 3, cfg.nf // 16, cfg.out_nc),
+    }
+    return {"fnet": fnet, "srnet": srnet}
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+
+
+def _enc(p, x):
+    x = leaky_relu(conv2d(x, **p[0], padding=1), 0.2)
+    x = leaky_relu(conv2d(x, **p[1], padding=1), 0.2)
+    return x
+
+
+def fnet_apply(params: dict, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Optical flow x1 -> x2. Inputs NHWC in [0,1]; output (N, H', W', 2)
+    with H' = H//8*8 (restored to H by the caller's reflect pad)."""
+    p = params
+    out = _maxpool2(_enc(p["enc1"], jnp.concatenate([x1, x2], axis=-1)))
+    out = _maxpool2(_enc(p["enc2"], out))
+    out = _maxpool2(_enc(p["enc3"], out))
+    h, w = out.shape[-3], out.shape[-2]
+    out = resize(_enc(p["dec1"], out), (h * 2, w * 2), "bilinear")
+    out = resize(_enc(p["dec2"], out), (h * 4, w * 4), "bilinear")
+    out = resize(_enc(p["dec3"], out), (h * 8, w * 8), "bilinear")
+    out = leaky_relu(conv2d(out, **p["flow"][0], padding=1), 0.2)
+    out = conv2d(out, **p["flow"][1], padding=1)
+    return jnp.tanh(out) * jnp.asarray(24.0, out.dtype)
+
+
+def srnet_apply(params: dict, lr_curr: jnp.ndarray, hr_prev_tran: jnp.ndarray) -> jnp.ndarray:
+    """lr_curr (N,H,W,c) + space-to-depth'd warped hr_prev (N,H,W,s^2*c)."""
+    p = params
+    y = jnp.maximum(conv2d(jnp.concatenate([lr_curr, hr_prev_tran], -1), **p["conv_in"], padding=1), 0)
+    for blk in p["blocks"]:
+        r = jnp.maximum(conv2d(y, **blk[0], padding=1), 0)
+        y = conv2d(r, **blk[1], padding=1) + y
+    y = jnp.maximum(pixel_shuffle(y, 4), 0)
+    return conv2d(y, **p["conv_out"], padding=1)
+
+
+def frnet_step(
+    params: dict,
+    lr_curr: jnp.ndarray,
+    lr_prev: jnp.ndarray,
+    hr_prev: jnp.ndarray,
+    *,
+    cfg: EGVSRConfig = DEFAULT,
+) -> jnp.ndarray:
+    """One recurrence step (reference FRNet.forward, egvsr.py:180-212)."""
+    s = cfg.scale
+    h, w = lr_curr.shape[-3], lr_curr.shape[-2]
+    flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
+    pad_h, pad_w = h - flow.shape[-3], w - flow.shape[-2]
+    if pad_h or pad_w:
+        flow = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
+    hr_flow = jnp.asarray(float(s), flow.dtype) * resize(flow, (h * s, w * s), "bilinear")
+    hr_warp = backward_warp(hr_prev, hr_flow)
+    return srnet_apply(params["srnet"], lr_curr, space_to_depth(hr_warp, s))
+
+
+def init_recurrent_state(n: int, h: int, w: int, cfg: EGVSRConfig = DEFAULT, dtype=jnp.float32):
+    """(lr_prev, hr_prev) zero state for a fresh stream."""
+    s = cfg.scale
+    return (
+        jnp.zeros((n, h, w, cfg.in_nc), dtype),
+        jnp.zeros((n, h * s, w * s, cfg.out_nc), dtype),
+    )
+
+
+def infer_step(params, state, lr_curr, *, cfg: EGVSRConfig = DEFAULT):
+    """Streaming step carrying (lr_prev, hr_prev) — the service-side analogue
+    of reference egvsr_upscaler.py:197-207."""
+    lr_prev, hr_prev = state
+    hr = frnet_step(params, lr_curr, lr_prev, hr_prev, cfg=cfg)
+    return hr, (lr_curr, hr)
+
+
+def forward_sequence(params: dict, lr_data: jnp.ndarray, *, cfg: EGVSRConfig = DEFAULT) -> dict:
+    """Training unroll (reference forward_sequence, egvsr.py:214-265).
+
+    lr_data: (N, T, H, W, C).  Returns hr_data (N,T,sH,sW,C), plus the flow
+    tensors used by the warping loss.  Flow for all pairs is computed in one
+    batched fnet call (MXU-friendly), then the SR recurrence runs as a scan.
+    """
+    n, t, h, w, c = lr_data.shape
+    s = cfg.scale
+
+    lr_prev = lr_data[:, :-1].reshape(n * (t - 1), h, w, c)
+    lr_curr = lr_data[:, 1:].reshape(n * (t - 1), h, w, c)
+    lr_flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
+    pad_h, pad_w = h - lr_flow.shape[-3], w - lr_flow.shape[-2]
+    if pad_h or pad_w:
+        lr_flow = pad2d(lr_flow, (0, pad_w, 0, pad_h), mode="reflect")
+    hr_flow = jnp.asarray(float(s), lr_flow.dtype) * resize(lr_flow, (h * s, w * s), "bilinear")
+    hr_flow_seq = hr_flow.reshape(n, t - 1, h * s, w * s, 2)
+
+    # first frame: zero hr_prev_tran
+    hr_first = srnet_apply(
+        params["srnet"],
+        lr_data[:, 0],
+        jnp.zeros((n, h, w, s * s * c), lr_data.dtype),
+    )
+
+    def body(hr_prev, inputs):
+        lr_i, flow_i = inputs
+        hr_warp = backward_warp(hr_prev, flow_i)
+        hr_i = srnet_apply(params["srnet"], lr_i, space_to_depth(hr_warp, s))
+        return hr_i, hr_i
+
+    lr_seq = jnp.moveaxis(lr_data[:, 1:], 1, 0)        # (T-1, N, H, W, C)
+    flow_seq = jnp.moveaxis(hr_flow_seq, 1, 0)
+    _, hr_rest = jax.lax.scan(body, hr_first, (lr_seq, flow_seq))
+    hr_data = jnp.concatenate([hr_first[None], hr_rest], axis=0)  # (T, N, ...)
+    return {
+        "hr_data": jnp.moveaxis(hr_data, 0, 1),
+        "hr_flow": hr_flow_seq,
+        "lr_prev": lr_prev,
+        "lr_curr": lr_curr,
+        "lr_flow": lr_flow,
+    }
+
+
+def infer_sequence(params: dict, lr_data: jnp.ndarray, *, cfg: EGVSRConfig = DEFAULT) -> jnp.ndarray:
+    """Whole-clip streaming inference under one scan.
+    lr_data: (T, N, H, W, C) -> (T, N, sH, sW, C)."""
+    t, n, h, w, _ = lr_data.shape
+    state = init_recurrent_state(n, h, w, cfg, lr_data.dtype)
+
+    def body(st, lr):
+        hr, st = infer_step(params, st, lr, cfg=cfg)
+        return st, hr
+
+    _, hr = jax.lax.scan(body, state, lr_data)
+    return hr
+
+
+def from_torch(sd: dict[str, np.ndarray], cfg: EGVSRConfig = DEFAULT) -> dict:
+    """Key map per reference FNet/SRNet module layout (egvsr.py:16-130)."""
+    fnet = {
+        "enc1": [conv_from_torch(sd, "fnet.encoder1.0."), conv_from_torch(sd, "fnet.encoder1.2.")],
+        "enc2": [conv_from_torch(sd, "fnet.encoder2.0."), conv_from_torch(sd, "fnet.encoder2.2.")],
+        "enc3": [conv_from_torch(sd, "fnet.encoder3.0."), conv_from_torch(sd, "fnet.encoder3.2.")],
+        "dec1": [conv_from_torch(sd, "fnet.decoder1.0."), conv_from_torch(sd, "fnet.decoder1.2.")],
+        "dec2": [conv_from_torch(sd, "fnet.decoder2.0."), conv_from_torch(sd, "fnet.decoder2.2.")],
+        "dec3": [conv_from_torch(sd, "fnet.decoder3.0."), conv_from_torch(sd, "fnet.decoder3.2.")],
+        "flow": [conv_from_torch(sd, "fnet.flow.0."), conv_from_torch(sd, "fnet.flow.2.")],
+    }
+    srnet = {
+        "conv_in": conv_from_torch(sd, "srnet.conv_in.0."),
+        "blocks": [
+            [
+                conv_from_torch(sd, f"srnet.resblocks.{i}.conv.0."),
+                conv_from_torch(sd, f"srnet.resblocks.{i}.conv.2."),
+            ]
+            for i in range(cfg.nb)
+        ],
+        "conv_out": conv_from_torch(sd, "srnet.conv_out."),
+    }
+    return {"fnet": fnet, "srnet": srnet}

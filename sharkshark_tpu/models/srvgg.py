@@ -1,0 +1,93 @@
+"""SRVGGNetCompact — the production RealESRGAN upscaler core.
+
+Capability parity with the inline SRVGGNetCompact in reference
+src/upscale/model/realesrgan/factory.py:18-82: a stack of 3x3 convs with
+PReLU, a (scale^2 * out_ch)-channel tail conv, PixelShuffle, plus a
+nearest-upsampled residual of the input.  The `realesr-general-x4v3`
+config (num_conv=32, num_feat=64) is the live-pipeline flagship; DNI
+denoise blending happens at import time (torch_import.dni_blend),
+matching reference factory.py:152-157.
+
+TPU notes: NHWC, 64-channel body feeds the MXU directly; the nearest
+residual is a take-gather XLA fuses into the epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import conv2d, prelu, leaky_relu, pixel_shuffle, resize
+from .torch_import import conv_from_torch, prelu_from_torch
+
+
+class SRVGGConfig(NamedTuple):
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    num_feat: int = 64
+    num_conv: int = 32       # 32 = general-x4v3 (S), 16 = animevideov3 (XS)
+    upscale: int = 4
+    act_type: str = "prelu"  # 'relu' | 'prelu' | 'leakyrelu'
+
+
+GENERAL_X4V3 = SRVGGConfig(num_conv=32)
+ANIMEVIDEO_V3 = SRVGGConfig(num_conv=16)
+
+
+def init_params(key: jax.Array, cfg: SRVGGConfig = GENERAL_X4V3) -> dict:
+    n_layers = cfg.num_conv + 1
+    keys = jax.random.split(key, n_layers + 1)
+
+    def conv(k, i, o):
+        fan_in = i * 9
+        w = jax.random.normal(k, (3, 3, i, o), jnp.float32) * np.sqrt(2.0 / fan_in)
+        return {"w": w, "b": jnp.zeros((o,), jnp.float32)}
+
+    convs = [conv(keys[0], cfg.num_in_ch, cfg.num_feat)]
+    convs += [conv(keys[i], cfg.num_feat, cfg.num_feat) for i in range(1, n_layers)]
+    tail = conv(keys[n_layers], cfg.num_feat, cfg.num_out_ch * cfg.upscale**2)
+    acts = [
+        {"alpha": jnp.full((cfg.num_feat,), 0.25, jnp.float32)}
+        for _ in range(n_layers)
+    ]
+    return {"convs": convs, "acts": acts, "tail": tail}
+
+
+def _act(x: jnp.ndarray, p: dict, act_type: str) -> jnp.ndarray:
+    if act_type == "prelu":
+        return prelu(x, p["alpha"])
+    if act_type == "relu":
+        return jnp.maximum(x, 0)
+    if act_type == "leakyrelu":
+        return leaky_relu(x, 0.1)
+    raise ValueError(act_type)
+
+
+def apply(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
+    """x: (N, H, W, in_ch) in [0,1] -> (N, H*s, W*s, out_ch)."""
+    y = x
+    for conv_p, act_p in zip(params["convs"], params["acts"]):
+        y = _act(conv2d(y, **conv_p, padding=1), act_p, cfg.act_type)
+    y = conv2d(y, **params["tail"], padding=1)
+    y = pixel_shuffle(y, cfg.upscale)
+    h, w = x.shape[-3], x.shape[-2]
+    base = resize(x, (h * cfg.upscale, w * cfg.upscale), "nearest")
+    return y + base.astype(y.dtype)
+
+
+def from_torch(sd: dict[str, np.ndarray], cfg: SRVGGConfig = GENERAL_X4V3) -> dict:
+    """Reference module list: body.[conv,act]*(num_conv+1) + tail conv at
+    body.{2*(num_conv+1)} (factory.py:42-69)."""
+    n_layers = cfg.num_conv + 1
+    convs = [conv_from_torch(sd, f"body.{2 * i}.") for i in range(n_layers)]
+    acts = [
+        prelu_from_torch(sd, f"body.{2 * i + 1}.")
+        if cfg.act_type == "prelu"
+        else {}
+        for i in range(n_layers)
+    ]
+    tail = conv_from_torch(sd, f"body.{2 * n_layers}.")
+    return {"convs": convs, "acts": acts, "tail": tail}

@@ -1,0 +1,168 @@
+"""BSVD scan-reformulation tests.
+
+The reference streams frames through stateful buffered convs with a
+None-propagation warm-up/flush protocol (reference model.py:94-138,
+526-580).  Our scan formulation must match it bit-for-bit.  To verify, a
+clean-room torch simulator of the *protocol semantics* (derived from
+SURVEY.md §2 row 15, not from reference code) runs the same weights.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from sharkshark_tpu.models import bsvd
+
+CFG = bsvd.BSVDConfig(chns=(8, 16, 32), mid_ch=8, in_ch=4, out_ch=3, interm_ch=6)
+RNG = np.random.default_rng(3)
+
+
+def t(x):
+    return torch.from_numpy(np.ascontiguousarray(x))
+
+
+def _to_torch_w(p):
+    # HWIO -> OIHW
+    return t(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))), t(np.asarray(p["b"]))
+
+
+class SimBufferedConv:
+    """Protocol simulator for one temporal-shift buffered conv:
+    keeps `center` (prev input, or None) and `left` (fold-slice of the
+    input before that); on input None after start, emits one flush output
+    then Nones.  Mirrors the observable behavior of the reference's
+    BiBufferConv without its implementation."""
+
+    def __init__(self, p):
+        self.w, self.b = _to_torch_w(p)
+        self.center = None
+        self.left = None
+
+    def __call__(self, right):
+        if self.center is None:
+            if right is not None:
+                if self.left is None:
+                    fold = right.shape[1] // 8
+                    self.left = torch.zeros_like(right[:, :fold])
+                self.center = right
+            return None
+        fold = self.center.shape[1] // 8
+        r = right if right is not None else torch.zeros_like(self.center)
+        inp = torch.cat([r[:, :fold], self.left, self.center[:, 2 * fold:]], dim=1)
+        out = F.conv2d(inp, self.w, self.b, padding=1)
+        self.left = self.center[:, fold:2 * fold]
+        self.center = right
+        return out
+
+
+class SimDenBlock:
+    def __init__(self, p, act):
+        self.p = p
+        self.act = act
+        self.mems = {k: [SimBufferedConv(p[k]["c1"]), SimBufferedConv(p[k]["c2"])]
+                     for k in ("down0_mem", "down1_mem", "up2_mem", "up1_mem")}
+        self.skip1, self.skip2, self.skip3 = [], [], []
+
+    def _a(self, x):
+        return F.relu6(x) if self.act == "relu6" else F.relu(x)
+
+    def _conv(self, x, name, stride=1):
+        w, b = _to_torch_w(self.p[name])
+        return F.conv2d(x, w, b, stride=stride, padding=1)
+
+    def _mem(self, name, x):
+        for conv in self.mems[name]:
+            x = conv(x)
+            if x is not None:
+                x = self._a(x)
+        return x
+
+    def __call__(self, x):
+        if x is not None:
+            self.skip1.insert(0, x[:, :3])
+            x0 = self._a(self._conv(self._a(self._conv(x, "inc0")), "inc1"))
+            self.skip2.insert(0, x0)
+            x1_in = self._a(self._conv(x0, "down0", stride=2))
+        else:
+            x1_in = None
+        x1 = self._mem("down0_mem", x1_in)
+        if x1 is not None:
+            self.skip3.insert(0, x1)
+            x2_in = self._a(self._conv(x1, "down1", stride=2))
+        else:
+            x2_in = None
+        x2 = self._mem("down1_mem", x2_in)
+        u2 = self._mem("up2_mem", x2)
+        if u2 is not None:
+            u2 = F.pixel_shuffle(self._conv(u2, "up2"), 2)
+            u1_in = u2 + self.skip3.pop()
+        else:
+            u1_in = None
+        u1 = self._mem("up1_mem", u1_in)
+        if u1 is None:
+            return None
+        u1 = F.pixel_shuffle(self._conv(u1, "up1"), 2)
+        y = self._conv(self._a(self._conv(u1 + self.skip2.pop(), "outc0")), "outc1")
+        s1 = self.skip1.pop()
+        y[:, :3] = s1 - y[:, :3]
+        return y
+
+
+def _sim_stream(params, frames_nchw, cfg):
+    """Full streaming run: feed frames then Nones until SHIFT_NUM extra
+    outputs are collected; keep outputs [SHIFT_NUM:]."""
+    b1 = SimDenBlock(params["temp1"], cfg.act)
+    b2 = SimDenBlock(params["temp2"], cfg.act)
+    outs = []
+    for f in frames_nchw:
+        outs.append(b2(b1(t(f))))
+    while len(outs) < len(frames_nchw) + bsvd.SHIFT_NUM:
+        outs.append(b2(b1(None)))
+    kept = outs[bsvd.SHIFT_NUM:]
+    assert all(o is not None for o in kept)
+    return np.stack([o.numpy() for o in kept])
+
+
+@pytest.mark.parametrize("T", [1, 3, 20])
+def test_denoise_clip_matches_protocol_simulator(T):
+    import jax
+
+    params = bsvd.init_params(jax.random.PRNGKey(5), CFG)
+    frames = RNG.random((T, 1, 16, 24, 4)).astype(np.float32)
+    want = _sim_stream(params, [np.moveaxis(f, -1, 1) for f in frames], CFG)
+    got = np.asarray(bsvd.denoise_clip(params, jnp.asarray(frames), cfg=CFG))
+    got = np.moveaxis(got[:, 0], -1, 1)[:, None][:, 0]  # (T, C, H, W)
+    got = got[:, None]  # (T, 1, C, H, W)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_single_frame_equals_clip_of_one():
+    import jax
+
+    params = bsvd.init_params(jax.random.PRNGKey(11), CFG)
+    x = jnp.asarray(RNG.random((2, 16, 24, 4)).astype(np.float32))
+    via_clip = np.asarray(bsvd.denoise_clip(params, x[None], cfg=CFG))[0]
+    direct = np.asarray(bsvd.apply_single(params, x, cfg=CFG))
+    np.testing.assert_allclose(direct, via_clip, rtol=1e-4, atol=1e-5)
+
+
+def test_stream_step_latency_and_state_reuse():
+    """Feeding frames one step at a time through stream_step must equal the
+    one-shot scan (live-service usage: state persists across calls)."""
+    import jax
+
+    params = bsvd.init_params(jax.random.PRNGKey(13), CFG)
+    frames = jnp.asarray(RNG.random((6, 1, 16, 24, 4)).astype(np.float32))
+    ref = np.asarray(bsvd.denoise_clip(params, frames, cfg=CFG))
+
+    state = bsvd.init_stream_state(1, 16, 24, CFG)
+    outs = []
+    xs = list(frames) + [jnp.zeros_like(frames[0])] * bsvd.SHIFT_NUM
+    for x in xs:
+        y, state = bsvd.stream_step(params, state, x, cfg=CFG, t_end=6)
+        outs.append(np.asarray(y))
+    got = np.stack(outs[bsvd.SHIFT_NUM:])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

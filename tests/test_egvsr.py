@@ -1,0 +1,134 @@
+"""EGVSR/FRNet parity tests vs torch-functional execution of the same
+weights, plus recurrence consistency between scan and stepwise APIs."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from sharkshark_tpu.models import egvsr
+
+CFG = egvsr.EGVSRConfig(nf=16, nb=2)
+RNG = np.random.default_rng(9)
+
+
+def t(x):
+    return torch.from_numpy(np.ascontiguousarray(x))
+
+
+def w_oihw(p):
+    return t(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))), t(np.asarray(p["b"]))
+
+
+def _torch_enc(p, x):
+    for conv in p:
+        w, b = w_oihw(conv)
+        x = F.leaky_relu(F.conv2d(x, w, b, padding=1), 0.2)
+    return x
+
+
+def _torch_fnet(params, x1, x2):
+    p = params["fnet"]
+    out = F.max_pool2d(_torch_enc(p["enc1"], torch.cat([x1, x2], 1)), 2)
+    out = F.max_pool2d(_torch_enc(p["enc2"], out), 2)
+    out = F.max_pool2d(_torch_enc(p["enc3"], out), 2)
+    out = F.interpolate(_torch_enc(p["dec1"], out), scale_factor=2.0, mode="bilinear", align_corners=False)
+    out = F.interpolate(_torch_enc(p["dec2"], out), scale_factor=2.0, mode="bilinear", align_corners=False)
+    out = F.interpolate(_torch_enc(p["dec3"], out), scale_factor=2.0, mode="bilinear", align_corners=False)
+    w, b = w_oihw(p["flow"][0])
+    out = F.leaky_relu(F.conv2d(out, w, b, padding=1), 0.2)
+    w, b = w_oihw(p["flow"][1])
+    return torch.tanh(F.conv2d(out, w, b, padding=1)) * 24
+
+
+def _torch_srnet(params, lr, hr_tran):
+    p = params["srnet"]
+    w, b = w_oihw(p["conv_in"])
+    y = F.relu(F.conv2d(torch.cat([lr, hr_tran], 1), w, b, padding=1))
+    for blk in p["blocks"]:
+        w1, b1 = w_oihw(blk[0])
+        w2, b2 = w_oihw(blk[1])
+        y = F.conv2d(F.relu(F.conv2d(y, w1, b1, padding=1)), w2, b2, padding=1) + y
+    y = F.relu(F.pixel_shuffle(y, 4))
+    w, b = w_oihw(p["conv_out"])
+    return F.conv2d(y, w, b, padding=1)
+
+
+def _torch_s2d(x, s):
+    n, c, h, w = x.shape
+    return (
+        x.reshape(n, c, h // s, s, w // s, s)
+        .permute(0, 3, 5, 1, 2, 4)
+        .reshape(n, s * s * c, h // s, w // s)
+    )
+
+
+def _torch_warp(x, flow):
+    n, c, h, w = x.shape
+    iu = torch.linspace(-1.0, 1.0, w).view(1, 1, 1, w).expand(n, -1, h, -1)
+    iv = torch.linspace(-1.0, 1.0, h).view(1, 1, h, 1).expand(n, -1, -1, w)
+    grid = torch.cat([iu, iv], 1)
+    nflow = torch.cat([flow[:, 0:1] / ((w - 1.0) / 2.0), flow[:, 1:2] / ((h - 1.0) / 2.0)], 1)
+    grid = (grid + nflow).permute(0, 2, 3, 1)
+    return F.grid_sample(x, grid, mode="bilinear", padding_mode="border", align_corners=True)
+
+
+def _torch_frnet_step(params, lr_curr, lr_prev, hr_prev, scale=4):
+    flow = _torch_fnet(params, lr_curr, lr_prev)
+    hr_flow = scale * F.interpolate(flow, scale_factor=float(scale), mode="bilinear", align_corners=False)
+    warp = _torch_warp(hr_prev, hr_flow)
+    return _torch_srnet(params, lr_curr, _torch_s2d(warp, scale))
+
+
+def nchw(x):
+    return np.moveaxis(x, -1, 1)
+
+
+def test_frnet_step_matches_torch():
+    params = egvsr.init_params(jax.random.PRNGKey(1), CFG)
+    lr_curr = RNG.random((1, 16, 24, 3)).astype(np.float32)
+    lr_prev = RNG.random((1, 16, 24, 3)).astype(np.float32)
+    hr_prev = RNG.random((1, 64, 96, 3)).astype(np.float32)
+    want = _torch_frnet_step(params, t(nchw(lr_curr)), t(nchw(lr_prev)), t(nchw(hr_prev))).numpy()
+    got = nchw(np.asarray(egvsr.frnet_step(
+        params, jnp.asarray(lr_curr), jnp.asarray(lr_prev), jnp.asarray(hr_prev), cfg=CFG)))
+    # tiny fp32 flow differences shift warp sample points at texture edges;
+    # componentwise parity is ~1e-5, end-to-end needs the looser bound
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
+
+
+def test_infer_sequence_matches_stepwise():
+    params = egvsr.init_params(jax.random.PRNGKey(2), CFG)
+    frames = jnp.asarray(RNG.random((4, 1, 16, 16, 3)).astype(np.float32))
+    seq = np.asarray(egvsr.infer_sequence(params, frames, cfg=CFG))
+
+    state = egvsr.init_recurrent_state(1, 16, 16, CFG)
+    outs = []
+    for f in frames:
+        y, state = egvsr.infer_step(params, state, f, cfg=CFG)
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.stack(outs), seq, rtol=1e-5, atol=1e-6)
+
+
+def test_forward_sequence_consistent_with_step_recurrence():
+    """Training unroll must reproduce the stepwise recurrence (with the
+    first frame using a zero hr_prev_tran, per reference :232-238)."""
+    params = egvsr.init_params(jax.random.PRNGKey(3), CFG)
+    lr = RNG.random((2, 3, 16, 16, 3)).astype(np.float32)
+    out = egvsr.forward_sequence(params, jnp.asarray(lr), cfg=CFG)
+    hr = np.asarray(out["hr_data"])
+    assert hr.shape == (2, 3, 64, 64, 3)
+
+    # manual recurrence
+    hr0 = np.asarray(egvsr.srnet_apply(
+        params["srnet"], jnp.asarray(lr[:, 0]), jnp.zeros((2, 16, 16, 48), jnp.float32)))
+    np.testing.assert_allclose(hr[:, 0], hr0, rtol=1e-5, atol=1e-6)
+
+    flow = np.asarray(out["hr_flow"])
+    from sharkshark_tpu.ops import backward_warp, space_to_depth
+
+    warp = backward_warp(jnp.asarray(hr0), jnp.asarray(flow[:, 0]))
+    hr1 = np.asarray(egvsr.srnet_apply(params["srnet"], jnp.asarray(lr[:, 1]), space_to_depth(warp, 4)))
+    np.testing.assert_allclose(hr[:, 1], hr1, rtol=1e-4, atol=1e-5)
