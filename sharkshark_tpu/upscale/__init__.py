@@ -1,0 +1,17 @@
+from .levels import LR_LEVELS, HR_LEVELS, lr_shape_for_level, hr_shape_for_level
+from .steps import (
+    UpscaleSpec,
+    upscale_multi,
+    upscale_single_denoise,
+    init_denoise_state,
+    egvsr_upscale_step,
+)
+from .tile import tile_upscale
+from .jit_cache import ShapeCache, enable_persistent_cache
+
+__all__ = [
+    "LR_LEVELS", "HR_LEVELS", "lr_shape_for_level", "hr_shape_for_level",
+    "UpscaleSpec", "upscale_multi", "upscale_single_denoise",
+    "init_denoise_state", "egvsr_upscale_step",
+    "tile_upscale", "ShapeCache", "enable_persistent_cache",
+]
