@@ -1,0 +1,76 @@
+"""Headline benchmark: sustained production-path throughput on one chip.
+
+Measures the reference's north-star workload (BASELINE.md): 720p -> 1440p
+RealESRGAN(SRVGG general-x4v3 architecture) upscale with the full fused
+post-processing (color match, output resize), micro-batch 4 — i.e. the
+body of FsrcnnUpscalerService.upscale_multi — and reports frames/sec.
+Baseline to beat: 24 fps sustained (README.md:20, RTX 4090).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 24.0
+
+
+def main() -> None:
+    from sharkshark_tpu.models import srvgg
+    from sharkshark_tpu.upscale import UpscaleSpec, upscale_multi
+
+    cfg = srvgg.GENERAL_X4V3
+    params = srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    spec = UpscaleSpec(
+        lr_shape=(720, 1280),
+        output_shape=(1440, 2560),
+        compute_dtype=jnp.bfloat16,
+    )
+    batch = 4  # reference micro-batch: min(4, fps) (pipeline.py:31)
+
+    fn = jax.jit(
+        lambda p, f: upscale_multi(
+            lambda q, x: srvgg.apply(q, x, cfg=cfg), p, f, spec
+        )
+    )
+
+    key = jax.random.PRNGKey(1)
+    frames = jax.random.randint(key, (batch, 720, 1280, 3), 0, 256, jnp.uint8)
+
+    # Device sync: on some transports block_until_ready returns before the
+    # executable finishes; a jitted scalar reduce + host fetch is a hard
+    # barrier with a 4-byte transfer.
+    checksum = jax.jit(lambda o: jnp.sum(o, dtype=jnp.int32))
+
+    # compile + warmup
+    float(checksum(fn(params, frames)))
+    for _ in range(2):
+        float(checksum(fn(params, frames)))
+
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, frames)
+    float(checksum(out))
+    dt = time.perf_counter() - t0
+
+    fps = (iters * batch) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "upscale_720p_to_1440p_fps",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

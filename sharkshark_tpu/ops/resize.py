@@ -6,21 +6,21 @@ src/upscale/fsrcnn_upscaler.py:173-176,229-231), `bilinear` (local color
 match upsample, :215-217), `bicubic` (final HR upsample, :225-227) and
 `nearest` (SRVGG residual base, src/upscale/model/realesrgan/factory.py:80).
 
-Rather than translating per-pixel loops, every mode is expressed as a pair
-of 1-D resampling matrices applied along H and W with matmuls — MXU-friendly,
-fully static, and trivially fused by XLA with the surrounding elementwise
-work.  The matrices are built in numpy at trace time and become compile-time
-constants.  Exactness vs torch is locked down by tests/test_resize.py.
+Each mode is a separable 1-D resampler with a small fixed tap count
+(bicubic 4, bilinear 2, area <= ceil(in/out)+1), applied along H then W as
+K gathers + K fused multiply-adds on the VPU.  A dense out_size x in_size
+matmul formulation would burn in/K times more FLOPs (and at 2880->1440
+that is ~700x); the tap tables are numpy compile-time constants, so XLA
+fuses the whole resample into the surrounding elementwise work.
 
-Integer-factor area downscale takes a reshape+mean fast path (pure VPU, no
-matmul needed).
+Integer-factor area downscale takes a reshape+mean fast path (pure VPU).
+Exactness vs torch is locked down by tests/test_resize.py.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,57 +28,53 @@ __all__ = ["resize", "resize_nchw"]
 
 
 @lru_cache(maxsize=None)
-def _area_matrix(in_size: int, out_size: int) -> np.ndarray:
-    """Adaptive-average-pool weights: row i averages input range
+def _area_taps(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Adaptive-average-pool taps: row i averages input range
     [floor(i*in/out), ceil((i+1)*in/out)) — torch `interpolate(mode='area')`
     lowers to adaptive_avg_pool2d with exactly these windows."""
-    w = np.zeros((out_size, in_size), dtype=np.float32)
-    for i in range(out_size):
-        start = (i * in_size) // out_size
-        end = -((-(i + 1) * in_size) // out_size)  # ceil
-        w[i, start:end] = 1.0 / (end - start)
-    return w
+    starts = (np.arange(out_size) * in_size) // out_size
+    ends = -((-(np.arange(out_size) + 1) * in_size) // out_size)  # ceil
+    k = int((ends - starts).max())
+    idx = starts[:, None] + np.arange(k)[None, :]
+    w = np.where(idx < ends[:, None], 1.0, 0.0) / (ends - starts)[:, None]
+    idx = np.minimum(idx, in_size - 1)
+    return idx.astype(np.int32), w.astype(np.float32)
 
 
 @lru_cache(maxsize=None)
-def _linear_matrix(in_size: int, out_size: int) -> np.ndarray:
+def _linear_taps(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray]:
     """Bilinear (align_corners=False): source coord (i+0.5)*in/out - 0.5,
     clamped; two taps."""
-    w = np.zeros((out_size, in_size), dtype=np.float32)
     scale = in_size / out_size
-    for i in range(out_size):
-        src = max((i + 0.5) * scale - 0.5, 0.0)
-        i0 = min(int(np.floor(src)), in_size - 1)
-        i1 = min(i0 + 1, in_size - 1)
-        frac = src - i0
-        w[i, i0] += 1.0 - frac
-        w[i, i1] += frac
-    return w
+    src = np.maximum((np.arange(out_size) + 0.5) * scale - 0.5, 0.0)
+    i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    frac = (src - i0).astype(np.float32)
+    idx = np.stack([i0, i1], axis=1)
+    w = np.stack([1.0 - frac, frac], axis=1)
+    return idx.astype(np.int32), w.astype(np.float32)
 
 
-def _cubic_kernel(t: float, a: float = -0.75) -> float:
-    at = abs(t)
-    if at <= 1.0:
-        return (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0
-    if at < 2.0:
-        return a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a
-    return 0.0
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    at = np.abs(t)
+    w1 = (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0
+    w2 = a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a
+    return np.where(at <= 1.0, w1, np.where(at < 2.0, w2, 0.0))
 
 
 @lru_cache(maxsize=None)
-def _cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+def _cubic_taps(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray]:
     """Bicubic (align_corners=False, a=-0.75), border indices clamped —
-    matches torch's upsample_bicubic2d tap placement."""
-    w = np.zeros((out_size, in_size), dtype=np.float32)
+    matches torch's upsample_bicubic2d tap placement (duplicated clamped
+    taps accumulate, same as the += in a dense formulation)."""
     scale = in_size / out_size
-    for i in range(out_size):
-        src = (i + 0.5) * scale - 0.5
-        i0 = int(np.floor(src))
-        frac = src - i0
-        for k in range(-1, 3):
-            idx = min(max(i0 + k, 0), in_size - 1)
-            w[i, idx] += _cubic_kernel(k - frac)
-    return w
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    ks = np.arange(-1, 3)
+    idx = np.clip(i0[:, None] + ks[None, :], 0, in_size - 1)
+    w = _cubic_kernel(ks[None, :] - frac[:, None])
+    return idx.astype(np.int32), w.astype(np.float32)
 
 
 @lru_cache(maxsize=None)
@@ -88,22 +84,22 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.minimum(idx, in_size - 1).astype(np.int32)
 
 
-_MATRIX = {"area": _area_matrix, "bilinear": _linear_matrix, "bicubic": _cubic_matrix}
+_TAPS = {"area": _area_taps, "bilinear": _linear_taps, "bicubic": _cubic_taps}
 
 
-def _apply_axis(x: jnp.ndarray, mat: np.ndarray, axis: int) -> jnp.ndarray:
-    """out[..., o, ...] = sum_i mat[o, i] * x[..., i, ...] along `axis`.
+def _apply_axis(x: jnp.ndarray, taps: tuple[np.ndarray, np.ndarray], axis: int) -> jnp.ndarray:
+    """out[..., o, ...] = sum_k w[o, k] * x[..., idx[o, k], ...] along `axis`.
 
-    precision=HIGHEST: the TPU MXU truncates f32 matmuls to bf16 by default,
-    which puts ~0.4% relative error on resampled pixels — visible at uint8
-    scale.  The resize matmuls are a tiny fraction of the conv FLOPs, so the
-    full-precision path is cheap insurance.
-    """
-    m = jnp.asarray(mat, dtype=jnp.float32)
+    K gathers + K FMAs in float32 on the VPU — no MXU matmul, so no
+    bf16-truncation concern and no dense zero-padded weight matrix."""
+    idx, w = taps
     xf = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
-    moved = jnp.moveaxis(xf, axis, -1)
-    out = jnp.matmul(moved, m.T, precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(out, -1, axis)
+    out = None
+    for k in range(idx.shape[1]):
+        tap = jnp.take(xf, jnp.asarray(idx[:, k]), axis=axis)
+        wk = jnp.asarray(w[:, k]).reshape((-1,) + (1,) * (x.ndim - 1 - axis))
+        out = tap * wk if out is None else out + tap * wk
+    return out
 
 
 def resize(x: jnp.ndarray, size: tuple[int, int], method: str = "bilinear") -> jnp.ndarray:
@@ -137,7 +133,7 @@ def resize(x: jnp.ndarray, size: tuple[int, int], method: str = "bilinear") -> j
         return out.astype(orig_dtype)
 
     try:
-        builder = _MATRIX[method]
+        builder = _TAPS[method]
     except KeyError:
         raise ValueError(f"unknown resize method: {method!r}") from None
 
