@@ -1,0 +1,191 @@
+"""Live upscale pipeline orchestrator.
+
+Rebuild of reference src/sharkshark/pipeline.py:15-170
+(TwitchUpscalerPostStreamer): wires recoder -> upscaler -> streamer via
+on_queue callbacks (each runs on the producing stage's thread and pushes
+into the next stage's bounded queue), splits 1-second capture batches
+into micro-batches of min(4, fps) frames, applies the drop-on-full
+frame-skip policy, and dumps the travelling Profiler as JSON every 3 s
+with queue-depth gauges.
+
+TPU-host differences: stages are threads in one process (no CUDA shared
+memory / torch.mp — see runtime.service), frames cross stages as numpy
+arrays, and EOF is a real sentinel that drains the pipe (the reference
+left this as a TODO, pipeline.py:76).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import queue
+import time
+
+from .runtime import EOF
+from .stream import Recoder, RecoderEntry, Streamer, StreamerEntry
+from .upscale.levels import HR_LEVELS
+from .upscale.service import EsrganUpscalerService, UpscalerQueueEntry
+from .utils import get_logger
+
+__all__ = ["UpscalePipeline"]
+
+log = get_logger("pipeline")
+
+
+class UpscalePipeline:
+    def __init__(
+        self,
+        url: str,
+        fps: float = 12,
+        quality: str = "720p60",
+        frame_skips: bool = True,
+        output_file: str | None = "rtmp://127.0.0.1/live",
+        lr_level: int = 3,
+        hr_level: int = 0,
+        denoising: bool = True,
+        denoise_rate: float = 1.0,
+        audio_skip: int = 0,
+        report_interval: float = 3.0,
+        recoder: Recoder | None = None,
+        upscaler=None,
+        streamer: Streamer | None = None,
+        **upscaler_kwargs,
+    ) -> None:
+        self.url = url
+        self.fps = fps
+        self.frame_skips = frame_skips
+        self.small_batch_size = min(4, int(fps))
+        self.report_interval = report_interval
+
+        self.upscaler = upscaler or EsrganUpscalerService(
+            lr_level=lr_level,
+            on_queue=self.upscaler_on_queue,
+            denoising=denoising,
+            denoise_rate=denoise_rate,
+            batch_size=self.small_batch_size,
+            output_shape=HR_LEVELS[hr_level],
+            **upscaler_kwargs,
+        )
+        self.upscaler.on_queue = self.upscaler_on_queue
+
+        self.recoder = recoder or Recoder(
+            url=url,
+            batch_sec=1,
+            fps=fps,
+            quality=quality,
+            on_queue=self.recoder_on_queue,
+            audio_skip=audio_skip,
+            output_shape=self.upscaler.lr_shape,
+        )
+        self.recoder.on_queue = self.recoder_on_queue
+
+        self.streamer = streamer or Streamer(
+            resolution=self.upscaler.output_shape,
+            fps=fps,
+            output_file=output_file,
+            on_queue=self.streamer_on_queue,
+        )
+        self.streamer.on_queue = self.streamer_on_queue
+
+        self.frame_step = 0
+        self.last_reported = self.last_streamed = time.time()
+        self.skipped_batches = 0
+
+    # -- stage callbacks (run on the producer's worker thread) -------------
+
+    def recoder_on_queue(self, entry) -> None:
+        if isinstance(entry, EOF):
+            self.upscaler.push_eof()
+            return
+        assert isinstance(entry, RecoderEntry)
+        sbs = self.small_batch_size
+        n_micro = math.ceil(len(entry.frames) / sbs)
+        audio = entry.audio_segment
+        audio_per = len(audio) // n_micro if audio is not None else 0
+        for i in range(n_micro):
+            try:
+                entry.profiler.start("recoder.output.entry")
+                frames = entry.frames[i * sbs : (i + 1) * sbs]
+                seg = (
+                    audio[i * audio_per : (i + 1) * audio_per]
+                    if audio is not None
+                    else None
+                )
+                entry.profiler.set("recoder.output.frames.shape", str(frames.shape))
+                new_entry = UpscalerQueueEntry(
+                    frames=frames,
+                    audio_segment=seg,
+                    step=self.frame_step,
+                    profiler=entry.profiler,
+                )
+                self.frame_step += 1
+                entry.profiler.end("recoder.output.entry")
+                if self.frame_skips:
+                    self.upscaler.push_job_nowait(new_entry)
+                else:
+                    self.upscaler.push_job(new_entry)
+            except queue.Full:
+                self.skipped_batches += 1
+                log.info("recoder output skipped (upscaler queue full)")
+
+    def upscaler_on_queue(self, entry) -> None:
+        if isinstance(entry, EOF):
+            self.streamer.push_eof()
+            return
+        assert isinstance(entry, UpscalerQueueEntry)
+        try:
+            entry.profiler.start("upscaler.output.queue")
+            new_entry = StreamerEntry(
+                frames=entry.frames,
+                audio_segments=entry.audio_segment,
+                step=entry.step,
+                profiler=entry.profiler,
+            )
+            entry.profiler.set(
+                "upscaler.output.frames.shape", str(entry.frames.shape)
+            )
+            entry.profiler.end("upscaler.output.queue")
+            if self.frame_skips:
+                self.streamer.push_job_nowait(new_entry)
+            else:
+                self.streamer.push_job(new_entry)
+        except queue.Full:
+            self.skipped_batches += 1
+            log.info("upscaler output skipped (streamer queue full)")
+
+    def streamer_on_queue(self, entry) -> None:
+        if isinstance(entry, EOF):
+            return
+        prof = entry.profiler
+        if "upscaler.upscale" in prof.data and len(entry.frames):
+            prof.set(
+                "upscaler.upscale.per_frame_ms",
+                prof.data["upscaler.upscale"] / len(entry.frames) * 1000,
+            )
+        if (time.time() - self.last_reported) > self.report_interval:
+            prof.set("upscaler.inputq", self.upscaler.job_queue.qsize())
+            prof.set("streamer.inputq", self.streamer.job_queue.qsize())
+            prof.set("pipeline.skipped_batches", self.skipped_batches)
+            print(json.dumps(prof.data, indent=2, default=str))
+            self.last_reported = time.time()
+        self.last_streamed = time.time()
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def start(self) -> None:
+        self.streamer.start()
+        self.upscaler.start()
+        self.recoder.start()
+
+    def stop(self) -> None:
+        self.recoder.stop()
+        self.upscaler.stop()
+        self.streamer.stop()
+
+    def join(self, timeout: float | None = None) -> None:
+        """Wait until EOF has drained through the last stage (or the
+        stages die)."""
+        self.streamer.wait_eof(timeout)
+        self.recoder.join()
+        self.upscaler.join()
+        self.streamer.join()

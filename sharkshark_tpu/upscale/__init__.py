@@ -8,10 +8,18 @@ from .steps import (
 )
 from .tile import tile_upscale
 from .jit_cache import ShapeCache, enable_persistent_cache
+from .service import (
+    UpscalerQueueEntry,
+    BaseUpscalerService,
+    EsrganUpscalerService,
+    EgvsrUpscalerService,
+)
 
 __all__ = [
     "LR_LEVELS", "HR_LEVELS", "lr_shape_for_level", "hr_shape_for_level",
     "UpscaleSpec", "upscale_multi", "upscale_single_denoise",
     "init_denoise_state", "egvsr_upscale_step",
     "tile_upscale", "ShapeCache", "enable_persistent_cache",
+    "UpscalerQueueEntry", "BaseUpscalerService",
+    "EsrganUpscalerService", "EgvsrUpscalerService",
 ]

@@ -1,0 +1,284 @@
+"""Upscaler stage services: the device-compute stage of the live pipeline.
+
+Rebuild of reference src/upscale/upscaler_base.py (BaseUpscalerService /
+UpscalerQueueEntry) and src/upscale/fsrcnn_upscaler.py:86-326 /
+egvsr_upscaler.py:145-212 on the thread-stage runtime:
+
+- EsrganUpscalerService — the production path (the reference's
+  'FsrcnnUpscalerService', which actually runs RealESRGAN-SRVGG): batched
+  upscale_multi, or per-frame upscale_single_denoise with BSVD stream
+  state when denoising is on.
+- EgvsrUpscalerService — frame-recurrent EGVSR with (lr_prev, hr_prev).
+
+TPU specifics replacing the TRT factory plumbing:
+- params live in HBM once (bf16), steps are ShapeCache-jitted per input
+  signature (the .pts-engine analogue),
+- tail micro-batches are padded to batch_size and sliced after, keeping
+  one compiled executable per service (SURVEY §7 hard parts),
+- JAX async dispatch overlaps the device step with the host-side queue
+  work; np.asarray at the exit edge is the only sync point.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import bsvd, egvsr, fsrcnn, srvgg, torch_import
+from ..runtime import BaseService, Profiler
+from ..utils import get_logger
+from .jit_cache import ShapeCache, enable_persistent_cache
+from .levels import LR_LEVELS
+from .steps import (
+    UpscaleSpec,
+    egvsr_upscale_step,
+    init_denoise_state,
+    upscale_multi,
+    upscale_single_denoise,
+)
+
+__all__ = ["UpscalerQueueEntry", "BaseUpscalerService", "EsrganUpscalerService", "EgvsrUpscalerService"]
+
+log = get_logger("upscale.service")
+
+
+@dataclass
+class UpscalerQueueEntry:
+    frames: Any = None
+    audio_segment: Any = None
+    step: int = 0
+    elapsed: float = 0.0
+    last_modified: float = 0.0
+    profiler: Profiler = field(default_factory=Profiler)
+
+
+class BaseUpscalerService(BaseService):
+    """Per-job timing + entry repack around the `upscale()` hook
+    (reference upscaler_base.py:26-63)."""
+
+    lr_shape: tuple[int, int] = (720, 1280)
+    output_shape: tuple[int, int] | None = (1440, 2560)
+
+    def proc_job_recieved(self, job: UpscalerQueueEntry) -> UpscalerQueueEntry:
+        self.profiler = job.profiler
+        t = time.time()
+        job.profiler.end("recoder.output")
+        job.profiler.start("upscaler.upscale")
+        frames_up = self.upscale(job.frames)
+        job.profiler.end("upscaler.upscale")
+        elapsed = time.time() - t
+        job.profiler.start("upscaler.output")
+        return UpscalerQueueEntry(
+            frames=frames_up,
+            audio_segment=job.audio_segment,
+            step=job.step,
+            elapsed=elapsed,
+            last_modified=time.time(),
+            profiler=job.profiler,
+        )
+
+    def upscale(self, frames):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+def _load_srvgg_params(
+    cfg: srvgg.SRVGGConfig,
+    weights: str | None,
+    weights_wdn: str | None,
+    denoise_rate: float,
+) -> dict:
+    """Load realesr-general-x4v3 weights with DNI denoise-strength blending
+    (reference realesrgan/factory.py:140-157); random init if absent."""
+    if weights is None:
+        log.warning("no SRVGG weights given; using random init")
+        return srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    sd = torch_import.load_state_dict(weights)
+    sd = sd.get("params", sd) if isinstance(sd, dict) else sd
+    if weights_wdn is not None and denoise_rate < 1.0:
+        sd_wdn = torch_import.load_state_dict(weights_wdn)
+        sd_wdn = sd_wdn.get("params", sd_wdn)
+        sd = torch_import.dni_blend(sd, sd_wdn, denoise_rate)
+    return srvgg.from_torch(sd, cfg)
+
+
+class EsrganUpscalerService(BaseUpscalerService):
+    """Production upscaler (reference FsrcnnUpscalerService,
+    fsrcnn_upscaler.py:86-326)."""
+
+    def __init__(
+        self,
+        lr_level: int = 3,
+        on_queue=None,
+        denoising: bool = True,
+        denoise_rate: float = 1.0,
+        upscaler_model: str = "realesrgan",
+        batch_size: int = 1,
+        lr_hr_resize: bool = True,
+        output_shape: tuple[int, int] | None = (1440, 2560),
+        weights: str | None = None,
+        weights_wdn: str | None = None,
+        denoise_weights: str | None = None,
+        compute_dtype=jnp.bfloat16,
+        srvgg_cfg: srvgg.SRVGGConfig = srvgg.GENERAL_X4V3,
+        bsvd_cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
+    ) -> None:
+        super().__init__(name="EsrganUpscaler")
+        self.lr_shape = LR_LEVELS[lr_level]
+        self.scale = 4
+        self.output_shape = output_shape
+        self.on_queue = on_queue
+        self.denoising = denoising
+        self.denoise_rate = denoise_rate
+        self.upscaler_model = upscaler_model
+        self.single_mode = denoising  # denoise path is per-frame recurrent
+        self.batch_size = batch_size
+        self.lr_hr_resize = lr_hr_resize
+        self.weights = weights
+        self.weights_wdn = weights_wdn
+        self.denoise_weights = denoise_weights
+        self.compute_dtype = compute_dtype
+        self.srvgg_cfg = srvgg_cfg
+        self.bsvd_cfg = bsvd_cfg
+
+    def proc_init(self) -> None:
+        enable_persistent_cache()
+        spec = UpscaleSpec(
+            lr_shape=self.lr_shape,
+            output_shape=self.output_shape,
+            lr_hr_resize=self.lr_hr_resize,
+            denoise_rate=self.denoise_rate,
+            compute_dtype=self.compute_dtype,
+        )
+        self.spec = spec
+        cfg = self.srvgg_cfg
+
+        if self.upscaler_model == "realesrgan":
+            sr_params = _load_srvgg_params(
+                cfg, self.weights, self.weights_wdn, self.denoise_rate
+            )
+
+            def sr_apply(p, x):
+                return srvgg.apply(p, x, cfg=cfg)
+
+        elif self.upscaler_model == "fsrcnn":
+            if self.weights is not None:
+                sr_params = fsrcnn.from_torch(
+                    torch_import.load_state_dict(self.weights)
+                )
+            else:
+                sr_params = fsrcnn.init_params(jax.random.PRNGKey(0))
+
+            def sr_apply(p, x):
+                n, h, w, c = x.shape
+                y = fsrcnn.apply(
+                    p, x.transpose(0, 3, 1, 2).reshape(n * c, h, w, 1), factor=4
+                )
+                s = 4
+                return (
+                    y.reshape(n, c, h * s, w * s, 1)[..., 0].transpose(0, 2, 3, 1)
+                )
+
+        else:
+            raise ValueError(self.upscaler_model)
+
+        self._sr_apply = sr_apply
+        self._sr_params = sr_params
+
+        if self.denoising:
+            if self.denoise_weights is not None:
+                den = bsvd.from_torch(
+                    torch_import.load_state_dict(self.denoise_weights),
+                    self.bsvd_cfg,
+                )
+            else:
+                log.warning("no BSVD weights given; using random init")
+                den = bsvd.init_params(jax.random.PRNGKey(1), self.bsvd_cfg)
+            self._params = {"sr": sr_params, "denoise": den}
+            self._den_state = init_denoise_state(1, spec, self.bsvd_cfg)
+            self._single_step = ShapeCache(
+                lambda p, s, f: upscale_single_denoise(
+                    sr_apply, p, s, f, spec, self.bsvd_cfg
+                )
+            )
+        self._multi_step = ShapeCache(
+            lambda p, f: upscale_multi(sr_apply, p, f, spec)
+        )
+        log.info("model loaded (%s, denoise=%s)", self.upscaler_model, self.denoising)
+
+    def upscale(self, frames) -> np.ndarray:
+        """frames: (N, H, W, 3) uint8 -> (N, OH, OW, 3) uint8 numpy."""
+        frames = np.asarray(frames)
+        assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
+        if self.single_mode:
+            outs = []
+            for i in range(len(frames)):
+                out, self._den_state = self._single_step(
+                    self._params, self._den_state, jnp.asarray(frames[i : i + 1])
+                )
+                outs.append(out)
+            return np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+        n = len(frames)
+        if n < self.batch_size:
+            # pad the tail micro-batch so the executable's shape is stable
+            pad = np.repeat(frames[-1:], self.batch_size - n, axis=0)
+            frames = np.concatenate([frames, pad], axis=0)
+        out = self._multi_step(self._sr_params, jnp.asarray(frames))
+        return np.asarray(out)[:n]
+
+
+class EgvsrUpscalerService(BaseUpscalerService):
+    """Frame-recurrent EGVSR service (reference egvsr_upscaler.py:145-212)."""
+
+    def __init__(
+        self,
+        lr_level: int = 0,
+        on_queue=None,
+        output_shape: tuple[int, int] | None = (1440, 2560),
+        weights: str | None = None,
+        compute_dtype=jnp.bfloat16,
+        cfg: egvsr.EGVSRConfig = egvsr.DEFAULT,
+    ) -> None:
+        super().__init__(name="EgvsrUpscaler")
+        self.lr_shape = LR_LEVELS[lr_level]
+        self.output_shape = output_shape
+        self.on_queue = on_queue
+        self.weights = weights
+        self.compute_dtype = compute_dtype
+        self.cfg = cfg
+
+    def proc_init(self) -> None:
+        enable_persistent_cache()
+        if self.weights is not None:
+            self._params = egvsr.from_torch(
+                torch_import.load_state_dict(self.weights), self.cfg
+            )
+        else:
+            log.warning("no EGVSR weights given; using random init")
+            self._params = egvsr.init_params(jax.random.PRNGKey(0), self.cfg)
+        spec = UpscaleSpec(
+            lr_shape=self.lr_shape,
+            output_shape=self.output_shape,
+            compute_dtype=self.compute_dtype,
+        )
+        self.spec = spec
+        h, w = self.lr_shape
+        self._state = egvsr.init_recurrent_state(1, h, w, self.cfg)
+        self._step = ShapeCache(
+            lambda p, s, f: egvsr_upscale_step(p, s, f, spec)
+        )
+
+    def upscale(self, frames) -> np.ndarray:
+        frames = np.asarray(frames)
+        outs = []
+        for i in range(len(frames)):
+            out, self._state = self._step(
+                self._params, self._state, jnp.asarray(frames[i : i + 1])
+            )
+            outs.append(out)
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)

@@ -1,0 +1,131 @@
+"""Full 3-stage pipeline tests with fake ingest/egress and tiny models:
+micro-batching, frame-skip policy, EOF drain, and the CLI arg surface."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from sharkshark_tpu.models import srvgg
+from sharkshark_tpu.pipeline import UpscalePipeline
+from sharkshark_tpu.stream import BufferedOutputStream, Recoder, Streamer
+from sharkshark_tpu.upscale.service import EsrganUpscalerService
+
+TINY = srvgg.SRVGGConfig(num_feat=16, num_conv=2)
+
+
+class FakeImageGrabber:
+    def __init__(self, n, h, w):
+        self.n, self.h, self.w, self.i = n, h, w, 0
+
+    def grab(self, timeout=None):
+        if self.i >= self.n:
+            return None
+        self.i += 1
+        return np.full((self.h, self.w, 3), self.i % 256, np.uint8)
+
+    def terminate(self):
+        pass
+
+
+class FakeAudioGrabber:
+    def grab(self, timeout=None):
+        return np.zeros((4410, 2), np.float32)
+
+    def terminate(self):
+        pass
+
+
+class ListSink:
+    def __init__(self):
+        self.frames = []
+        self.audio = []
+
+    def send_video_frame(self, f):
+        self.frames.append(np.array(f))
+
+    def send_audio(self, l, r):
+        self.audio.append(l)
+
+    def check_proc(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def _build_pipeline(n_frames=24, fps=8, denoising=False):
+    h, w = 24, 32
+    out_shape = (48, 64)
+    sink = ListSink()
+    stream = BufferedOutputStream(
+        "unused", width=out_shape[1], height=out_shape[0], fps=1000.0,
+        enable_audio=True, sink=sink,
+    )
+    upscaler = EsrganUpscalerService(
+        lr_level=0,
+        denoising=denoising,
+        batch_size=min(4, fps),
+        output_shape=out_shape,
+        compute_dtype=jnp.float32,
+        srvgg_cfg=TINY,
+        bsvd_cfg=None if not denoising else __import__(
+            "sharkshark_tpu.models.bsvd", fromlist=["BSVDConfig"]
+        ).BSVDConfig(chns=(8, 16, 24)),
+    )
+    upscaler.lr_shape = (h, w)  # override ladder for the tiny test
+    recoder = Recoder(
+        url="fake://",
+        batch_sec=1,
+        fps=fps,
+        image_grabber=FakeImageGrabber(n_frames, h, w),
+        audio_grabber=FakeAudioGrabber(),
+        overlay=False,
+    )
+    streamer = Streamer(
+        resolution=out_shape, fps=fps, output_stream=stream, overlay=True
+    )
+    pipe = UpscalePipeline(
+        url="fake://",
+        fps=fps,
+        frame_skips=False,
+        recoder=recoder,
+        upscaler=upscaler,
+        streamer=streamer,
+        report_interval=1e9,
+    )
+    return pipe, sink
+
+
+def test_pipeline_end_to_end_eof_drain():
+    pipe, sink = _build_pipeline(n_frames=24, fps=8)
+    pipe.start()
+    pipe.join(timeout=120)
+    deadline = time.monotonic() + 5
+    while len(sink.frames) < 24 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert len(sink.frames) >= 24
+    assert sink.frames[0].shape == (48, 64, 3)
+    # micro-batching: 24 frames at fps 8 -> 3 captures x ceil(8/4)=2 -> 6 steps
+    assert pipe.frame_step == 6
+    assert pipe.skipped_batches == 0
+
+
+def test_cli_parser_surface():
+    from sharkshark_tpu.main.upscaler import build_parser
+
+    args = build_parser().parse_args(
+        [
+            "--url", "https://twitch.tv/example",
+            "--quality", "720p60",
+            "--fps", "24",
+            "--denoise-rate", "0.5",
+            "--hr-level", "1",
+            "--lr-level", "2",
+            "--audio-queue", "2",
+            "--output-file", "out.flv",
+            "--no-frame-skips",
+        ]
+    )
+    assert args.fps == 24 and args.hr_level == 1 and args.no_frame_skips
+    assert args.model == "realesrgan"
