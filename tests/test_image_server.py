@@ -1,0 +1,203 @@
+"""Image-service tests: both HTTP tiers live on localhost with a tiny
+upscaler, caches, locks, alpha/mono handling, error paths."""
+
+import io
+import threading
+import time
+
+import httpx
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from sharkshark_tpu.image_server import (
+    CacheFrontend,
+    DiskImageCache,
+    ImageBackend,
+    LocalLockRegistry,
+    MemoryImageCache,
+    ReaderWriterObject,
+    serve_background,
+)
+from sharkshark_tpu.models import srvgg
+from sharkshark_tpu.upscale.service import EsrganUpscalerService
+
+TINY = srvgg.SRVGGConfig(num_feat=16, num_conv=2)
+
+
+def _tiny_upscaler(on_queue):
+    svc = EsrganUpscalerService(
+        lr_level=0,
+        denoising=False,
+        batch_size=1,
+        lr_hr_resize=False,
+        output_shape=None,
+        on_queue=on_queue,
+        compute_dtype=jnp.float32,
+        srvgg_cfg=TINY,
+    )
+    return svc
+
+
+def _png_bytes(h=24, w=32, mode="RGB", value=128):
+    arr = np.full((h, w, 3), value, np.uint8)
+    img = Image.fromarray(arr).convert(mode)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def backend_server():
+    backend = ImageBackend(upscaler_factory=_tiny_upscaler, use_cache=True)
+    httpd = serve_background(backend.app, port=0)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", backend
+    httpd.shutdown()
+
+
+def test_ping(backend_server):
+    url, _ = backend_server
+    r = httpx.get(f"{url}/upscale/ping", timeout=10)
+    assert r.status_code == 200 and r.text == "pong"
+
+
+def test_upscale_image_roundtrip(backend_server):
+    url, _ = backend_server
+    png = _png_bytes()
+    r = httpx.post(
+        f"{url}/upscale/image",
+        files={"file": png},
+        params={"return_type": "file"},
+        timeout=120,
+    )
+    assert r.status_code == 200, r.text
+    out = Image.open(io.BytesIO(r.content))
+    # 24x32 is under the 64*32 pixel floor -> post_scale 1.0, so pure x4
+    assert out.size == (32 * 4, 24 * 4)
+
+
+def test_upscale_url_mode_and_cache_hit(backend_server):
+    url, backend = backend_server
+    png = _png_bytes(value=77)
+    r1 = httpx.post(
+        f"{url}/upscale/image", files={"file": png},
+        params={"return_type": "url"}, timeout=120,
+    )
+    assert r1.status_code == 200
+    body = r1.json()
+    assert body["result"] == "ok" and body["url"].startswith("/upscale/file/")
+    r2 = httpx.post(
+        f"{url}/upscale/image", files={"file": png},
+        params={"return_type": "url"}, timeout=120,
+    )
+    assert r2.json()["cache"] == "hit"
+    # the cached file is servable
+    r3 = httpx.get(f"{url}{body['url']}", timeout=10)
+    assert r3.status_code == 200 and len(r3.content) > 0
+
+
+def test_alpha_image_returns_png_with_alpha(backend_server):
+    url, _ = backend_server
+    arr = np.full((20, 20, 4), 100, np.uint8)
+    arr[..., 3] = 200
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGBA").save(buf, format="PNG")
+    r = httpx.post(
+        f"{url}/upscale/image", files={"file": buf.getvalue()}, timeout=120
+    )
+    assert r.status_code == 200
+    out = Image.open(io.BytesIO(r.content))
+    assert out.mode == "RGBA"
+
+
+def test_bad_blob_is_500(backend_server):
+    url, _ = backend_server
+    r = httpx.post(
+        f"{url}/upscale/image", files={"file": b"not an image"}, timeout=30
+    )
+    assert r.status_code == 500
+    assert "img is none" in r.json()["err"]
+
+
+def test_forbidden_path(backend_server):
+    url, _ = backend_server
+    r = httpx.get(f"{url}/upscale/file/..%2Fetc", timeout=10)
+    assert r.status_code in (404, 500)
+
+
+def test_frontend_proxies_and_caches(backend_server):
+    backend_url, _ = backend_server
+    fe = CacheFrontend(backend_url=f"{backend_url}/upscale/image")
+    httpd = serve_background(fe.app, port=0)
+    fe_url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        png = _png_bytes(value=55)
+        r1 = httpx.post(f"{fe_url}/upscale/image", files={"file": png}, timeout=120)
+        assert r1.status_code == 200 and r1.json()["cache"] == "miss"
+        r2 = httpx.post(f"{fe_url}/upscale/image", files={"file": png}, timeout=30)
+        assert r2.json()["cache"] == "hit"
+        url = r2.json()["url"]
+        r3 = httpx.get(f"{fe_url}{url}", timeout=10)
+        assert r3.status_code == 200
+        assert r3.headers["access-control-allow-origin"] == "*"
+    finally:
+        httpd.shutdown()
+
+
+def test_memory_cache_lru_eviction():
+    c = MemoryImageCache(max_size=100)
+    c.write_file("a", io.BytesIO(b"x" * 60))
+    time.sleep(0.01)
+    c.write_file("b", io.BytesIO(b"y" * 60))
+    assert c.has_file("a") is None  # evicted
+    assert c.has_file("b") is not None
+
+
+def test_disk_cache(tmp_path):
+    c = DiskImageCache(root=str(tmp_path), max_size=1000)
+    url = c.write_file("f.png", io.BytesIO(b"data"))
+    assert url == "/upscale/file/f.png"
+    assert c.has_file("f.png") is not None
+    assert c.read_file("f.png").getvalue() == b"data"
+    # second instance claims a different storage dir
+    c2 = DiskImageCache(root=str(tmp_path), max_size=1000)
+    assert c2.idx != c.idx
+
+
+def test_rw_lock_allows_concurrent_readers():
+    obj = ReaderWriterObject({"k": 1})
+    n_inside = []
+    barrier = threading.Barrier(3, timeout=5)
+
+    def reader():
+        with obj.read() as v:
+            barrier.wait()  # all 3 readers inside simultaneously
+            n_inside.append(v["k"])
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert n_inside == [1, 1, 1]
+
+
+def test_local_lock_registry_serializes():
+    reg = LocalLockRegistry()
+    order = []
+
+    def work(tag):
+        lock = reg.file_lock("k")
+        lock.acquire()
+        order.append(f"{tag}-in")
+        time.sleep(0.05)
+        order.append(f"{tag}-out")
+        lock.release()
+
+    t1 = threading.Thread(target=work, args=("a",))
+    t2 = threading.Thread(target=work, args=("b",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    # no interleaving: every -in is followed by its own -out
+    assert order[0][:1] == order[1][:1] and order[2][:1] == order[3][:1]
