@@ -1,0 +1,253 @@
+"""Config-driven train/test/profile driver for the VSR training tree.
+
+Rebuild of reference src/upscale/model/egvsr/main.py:18-352:
+`python -m sharkshark_tpu.train.driver --config cfg.yml --mode
+train|test|profile` with a yaml option tree (see configs/egvsr_bd.yml).
+
+train: dataloader -> (BD degradation on device) -> jitted VSR or VSRGAN
+step, periodic test + metric JSON + checkpoint save, exact resume
+(optimizer state included, unlike the reference's TODO stub).
+test: run each test set through infer_sequence, save outputs + metrics.
+profile: XLA cost analysis + wall-clock fps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import egvsr
+from ..utils import get_logger
+from . import checkpoint as ckpt
+from .datasets import (
+    PairedFolderDataset,
+    PairedLMDBDataset,
+    UnpairedLMDBDataset,
+    create_dataloader,
+    gaussian_downsample_kernel,
+    prepare_data,
+)
+from .metrics import MetricCalculator
+from .model_summary import benchmark_fps, count_params, profile_model
+from .schedules import define_lr_schedule
+from .vsr import VSRTrainConfig, create_train_state, make_train_step
+
+log = get_logger("train.driver")
+
+
+def load_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _model_cfg(opt: dict) -> egvsr.EGVSRConfig:
+    g = opt.get("model", {}).get("generator", {})
+    return egvsr.EGVSRConfig(
+        in_nc=g.get("in_nc", 3),
+        out_nc=g.get("out_nc", 3),
+        nf=g.get("nf", 64),
+        nb=g.get("nb", 10),
+        scale=opt.get("scale", 4),
+    )
+
+
+def _make_dataset(opt: dict, split: str):
+    dopt = opt["dataset"][split]
+    degradation = opt["dataset"]["degradation"]["type"]
+    if split == "train":
+        if dopt.get("name") == "Folder":
+            from .datasets import PairedFolderTrainDataset
+
+            return PairedFolderTrainDataset(
+                dopt["gt_seq_dir"],
+                dopt["lr_seq_dir"],
+                scale=opt["scale"],
+                crop_size=dopt.get("crop_size", 128),
+                tempo_extent=opt["train"]["tempo_extent"],
+            )
+        if degradation == "BI":
+            return PairedLMDBDataset(
+                dopt["gt_seq_dir"],
+                dopt["lr_seq_dir"],
+                scale=opt["scale"],
+                crop_size=dopt.get("crop_size", 128),
+                tempo_extent=opt["train"]["tempo_extent"],
+                moving_first_frame=opt["train"].get("moving_first_frame", False),
+                moving_factor=opt["train"].get("moving_factor", 1.0),
+            )
+        sigma = opt["dataset"]["degradation"].get("sigma", 1.5)
+        crop = dopt.get("crop_size", 128) + 2 * int(sigma * 3.0)
+        return UnpairedLMDBDataset(
+            dopt["gt_seq_dir"],
+            crop_size=crop,
+            tempo_extent=opt["train"]["tempo_extent"],
+            moving_first_frame=opt["train"].get("moving_first_frame", False),
+            moving_factor=opt["train"].get("moving_factor", 1.0),
+        )
+    return PairedFolderDataset(
+        dopt["gt_seq_dir"], dopt["lr_seq_dir"], dopt.get("filter_file")
+    )
+
+
+def train(opt: dict) -> None:
+    np.random.seed(opt.get("manual_seed", 0))
+    mcfg = _model_cfg(opt)
+    gtr = opt["train"]["generator"]
+    cfg = VSRTrainConfig(
+        model_cfg=mcfg,
+        lr=gtr.get("lr", 5e-5),
+        beta1=gtr.get("beta1", 0.9),
+        beta2=gtr.get("beta2", 0.999),
+        pixel_crit=opt["train"].get("pixel_crit"),
+        warping_crit=opt["train"].get("warping_crit"),
+        pixel_weight=opt["train"].get("pixel_crit", {}).get("weight", 1.0),
+        warping_weight=opt["train"].get("warping_crit", {}).get("weight", 1.0),
+    )
+    sched = define_lr_schedule(gtr.get("lr_schedule"), cfg.lr)
+    state = create_train_state(jax.random.PRNGKey(opt.get("manual_seed", 0)), cfg, sched)
+    step_fn = jax.jit(make_train_step(cfg, sched))
+
+    ckpt_dir = opt["train"].get("ckpt_dir", "./ckpt")
+    resume = ckpt.latest_checkpoint(ckpt_dir)
+    if resume and opt["train"].get("resume", True):
+        state = ckpt.load_checkpoint(resume, state)
+        log.info("resumed from %s (iter %d)", resume, int(state.step))
+
+    degradation = opt["dataset"]["degradation"]["type"]
+    kernel = None
+    if degradation == "BD":
+        kernel = gaussian_downsample_kernel(
+            opt["dataset"]["degradation"].get("sigma", 1.5)
+        )
+        degrade = jax.jit(
+            lambda gt: prepare_data(
+                gt, kernel, opt["scale"],
+                opt["dataset"]["degradation"].get("sigma", 1.5),
+            )
+        )
+
+    loader = create_dataloader(
+        _make_dataset(opt, "train"),
+        batch_size=opt["dataset"]["train"].get("batch_size", 4),
+        num_workers=opt["dataset"]["train"].get("num_workers", 0),
+    )
+    total_iter = opt["train"].get("total_iter", 100000)
+    log_freq = opt.get("logger", {}).get("log_freq", 100)
+    save_freq = opt["train"].get("ckpt_freq", 5000)
+    test_freq = opt.get("test", {}).get("test_freq", 0)
+
+    it = int(state.step)
+    t0 = time.time()
+    while it < total_iter:
+        for batch in loader:
+            if it >= total_iter:
+                break
+            if degradation == "BD":
+                data = degrade(jnp.asarray(batch["gt"]))
+            else:
+                data = {"gt": jnp.asarray(batch["gt"]), "lr": jnp.asarray(batch["lr"])}
+            state, logs = step_fn(state, data["lr"], data["gt"])
+            it += 1
+            if it % log_freq == 0:
+                msg = " ".join(f"{k}={float(v):.4f}" for k, v in logs.items())
+                log.info("iter %d (%.1f it/s): %s", it, log_freq / (time.time() - t0 + 1e-9), msg)
+                t0 = time.time()
+            if save_freq and it % save_freq == 0:
+                path = ckpt.save_checkpoint(ckpt_dir, state, it)
+                log.info("saved %s", path)
+            if test_freq and it % test_freq == 0:
+                test(opt, params=state.params, label=f"iter_{it}")
+    ckpt.save_checkpoint(ckpt_dir, state, it)
+    log.info("training done at iter %d", it)
+
+
+def test(opt: dict, params=None, label: str = "final") -> dict:
+    mcfg = _model_cfg(opt)
+    if params is None:
+        load_path = opt["model"]["generator"].get("load_path")
+        if load_path and os.path.isdir(load_path):
+            # our own orbax checkpoint (dir, or ckpt root -> latest)
+            import orbax.checkpoint as ocp
+
+            path = ckpt.latest_checkpoint(load_path) or load_path
+            tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+            params = tree["params"] if "params" in tree else tree[0]
+        elif load_path:
+            from ..models.torch_import import load_state_dict
+
+            params = egvsr.from_torch(load_state_dict(load_path), mcfg)
+        else:
+            raise ValueError("test mode needs model.generator.load_path or params")
+
+    infer = jax.jit(lambda p, lr: egvsr.infer_sequence(p, lr, cfg=mcfg))
+    results = {}
+    for split in [k for k in opt["dataset"] if k.startswith("test")]:
+        ds = _make_dataset(opt, split)
+        calc = MetricCalculator(
+            metrics=opt.get("test", {}).get("metrics", ["PSNR"]),
+            psnr_colorspace=opt.get("test", {}).get("psnr_colorspace", "y"),
+        )
+        save_dir = opt.get("test", {}).get("res_dir")
+        for sample in ds:
+            lr = jnp.asarray(sample["lr"])[:, None]  # (T,1,h,w,C)
+            hr = np.asarray(infer(params, lr))[:, 0]
+            hr_u8 = np.clip(hr * 255 + 0.5, 0, 255).astype(np.uint8)
+            calc.compute_sequence_metrics(sample["seq_idx"], sample["gt"], hr_u8)
+            if save_dir:
+                _save_seq(save_dir, split, sample["seq_idx"], hr_u8)
+        results[split] = calc.average()
+        log.info("%s %s: %s", label, split, results[split])
+        json_dir = opt.get("test", {}).get("json_dir")
+        if json_dir:
+            os.makedirs(json_dir, exist_ok=True)
+            calc.save(os.path.join(json_dir, f"{split}_avg.json"), label)
+    return results
+
+
+def _save_seq(root: str, split: str, seq: str, frames: np.ndarray) -> None:
+    import cv2
+
+    d = os.path.join(root, split, seq)
+    os.makedirs(d, exist_ok=True)
+    for i, f in enumerate(frames):
+        cv2.imwrite(os.path.join(d, f"{i:04d}.png"), f[..., ::-1])
+
+
+def profile(opt: dict) -> dict:
+    mcfg = _model_cfg(opt)
+    h, w = opt.get("test", {}).get("profile_size", (256, 448))
+    params = egvsr.init_params(jax.random.PRNGKey(0), mcfg)
+    lr = jnp.zeros((1, 1, h, w, 3), jnp.float32)
+
+    def fwd(p, x):
+        return egvsr.infer_sequence(p, x.transpose(1, 0, 2, 3, 4))
+
+    stats = profile_model(fwd, params, lr)
+    stats["params"] = count_params(params)
+    stats["fps"] = benchmark_fps(fwd, params, lr)
+    log.info(
+        "profile @%dx%d: %.2f GFLOPs, %.2fM params, %.1f fps",
+        h, w, stats["flops"] / 1e9, stats["params"] / 1e6, stats["fps"],
+    )
+    return stats
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="sharkshark_tpu.train.driver")
+    p.add_argument("--config", required=True)
+    p.add_argument("--mode", choices=["train", "test", "profile"], default="train")
+    args = p.parse_args(argv)
+    opt = load_config(args.config)
+    {"train": train, "test": test, "profile": profile}[args.mode](opt)
+
+
+if __name__ == "__main__":
+    main()
