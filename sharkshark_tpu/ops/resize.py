@@ -87,19 +87,119 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
 _TAPS = {"area": _area_taps, "bilinear": _linear_taps, "bicubic": _cubic_taps}
 
 
-def _apply_axis(x: jnp.ndarray, taps: tuple[np.ndarray, np.ndarray], axis: int) -> jnp.ndarray:
-    """out[..., o, ...] = sum_k w[o, k] * x[..., idx[o, k], ...] along `axis`.
-
-    K gathers + K FMAs in float32 on the VPU — no MXU matmul, so no
-    bf16-truncation concern and no dense zero-padded weight matrix."""
-    idx, w = taps
-    xf = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+def _apply_axis_gather(xf: jnp.ndarray, idx: np.ndarray, w: np.ndarray, axis: int) -> jnp.ndarray:
     out = None
     for k in range(idx.shape[1]):
         tap = jnp.take(xf, jnp.asarray(idx[:, k]), axis=axis)
-        wk = jnp.asarray(w[:, k]).reshape((-1,) + (1,) * (x.ndim - 1 - axis))
+        wk = jnp.asarray(w[:, k]).reshape((-1,) + (1,) * (xf.ndim - 1 - axis))
         out = tap * wk if out is None else out + tap * wk
     return out
+
+
+def _axis_slice(x: jnp.ndarray, start: int, stop: int, axis: int, step: int = 1) -> jnp.ndarray:
+    i = [slice(None)] * x.ndim
+    i[axis] = slice(start, stop, step)
+    return x[tuple(i)]
+
+
+def _apply_axis_integer(
+    xf: jnp.ndarray, idx: np.ndarray, w: np.ndarray, axis: int
+) -> jnp.ndarray:
+    """Integer-ratio fast path: for out = f_up*in or in = f_dn*out the tap
+    pattern is shift-invariant, so the interior resample is edge-padded
+    strided BASIC slices + constant-weight FMAs (fuses on the VPU), and
+    only the few clamped border rows are computed exactly and stitched on
+    with one concat per end. A generic gather at these sizes lowers ~10x
+    slower on TPU."""
+    in_size = xf.shape[axis]
+    out_size, k_taps = idx.shape
+    f_up = out_size // in_size if out_size % in_size == 0 else 1
+    f_dn = in_size // out_size if in_size % out_size == 0 else 1
+    period = f_up
+    n_blk = out_size // period
+
+    # interior pattern from the middle block
+    m = n_blk // 2
+    offs = np.stack([idx[m * period + p] - m * f_dn for p in range(period)])  # (period, K)
+    ws = np.stack([w[m * period + p] for p in range(period)])
+
+    # rows where the actual taps deviate from the interior pattern (clamped
+    # borders); they are contiguous at each end
+    blocks = np.arange(out_size) // period
+    expected_idx = blocks[:, None] * f_dn + offs[np.arange(out_size) % period]
+    expected_w = ws[np.arange(out_size) % period]
+    good = (expected_idx == idx).all(axis=1) & (expected_w == w).all(axis=1)
+    bad = np.nonzero(~good)[0]
+    n_head = 0
+    n_tail = 0
+    if len(bad):
+        n_head = int(bad[bad < out_size // 2].max() + 1) if (bad < out_size // 2).any() else 0
+        tail_bad = bad[bad >= out_size // 2]
+        n_tail = int(out_size - tail_bad.min()) if len(tail_bad) else 0
+
+    # edge-pad so every pattern slice is in range
+    pad_l = max(0, -int(offs.min()))
+    max_pos = int(offs.max()) + (n_blk - 1) * f_dn
+    pad_r = max(0, max_pos - (in_size - 1))
+    if pad_l or pad_r:
+        pads = [(0, 0)] * xf.ndim
+        pads[axis] = (pad_l, pad_r)
+        xp = jnp.pad(xf, pads, mode="edge")
+    else:
+        xp = xf
+
+    phases = []
+    for p in range(period):
+        acc = None
+        for k in range(k_taps):
+            start = int(offs[p, k]) + pad_l
+            tap = _axis_slice(xp, start, start + f_dn * n_blk, axis, f_dn)
+            term = tap * float(ws[p, k])
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    if period == 1:
+        body = phases[0]
+    else:
+        stacked = jnp.stack(phases, axis=axis + 1)  # (..., n_blk, period, ...)
+        shape = list(xf.shape)
+        shape[axis] = out_size
+        body = stacked.reshape(shape)
+
+    if not (n_head or n_tail):
+        return body
+
+    def exact_rows(rows: np.ndarray) -> jnp.ndarray:
+        parts = []
+        for o in rows:
+            val = None
+            for k in range(k_taps):
+                tap = _axis_slice(xf, int(idx[o, k]), int(idx[o, k]) + 1, axis)
+                term = tap * float(w[o, k])
+                val = term if val is None else val + term
+            parts.append(val)
+        return jnp.concatenate(parts, axis=axis)
+
+    pieces = []
+    if n_head:
+        pieces.append(exact_rows(np.arange(n_head)))
+    pieces.append(_axis_slice(body, n_head, out_size - n_tail, axis))
+    if n_tail:
+        pieces.append(exact_rows(np.arange(out_size - n_tail, out_size)))
+    return jnp.concatenate(pieces, axis=axis)
+
+
+def _apply_axis(x: jnp.ndarray, taps: tuple[np.ndarray, np.ndarray], axis: int) -> jnp.ndarray:
+    """out[..., o, ...] = sum_k w[o, k] * x[..., idx[o, k], ...] along `axis`,
+    in float32 on the VPU (no MXU matmul, no dense zero-padded matrix).
+    Integer scale ratios — every shape in the production ladders — take the
+    slice-based fast path; others fall back to K gathers."""
+    idx, w = taps
+    in_size = x.shape[axis]
+    out_size = idx.shape[0]
+    xf = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+    if out_size % in_size == 0 or in_size % out_size == 0:
+        return _apply_axis_integer(xf, idx, w, axis)
+    return _apply_axis_gather(xf, idx, w, axis)
 
 
 def resize(x: jnp.ndarray, size: tuple[int, int], method: str = "bilinear") -> jnp.ndarray:
@@ -138,6 +238,11 @@ def resize(x: jnp.ndarray, size: tuple[int, int], method: str = "bilinear") -> j
         raise ValueError(f"unknown resize method: {method!r}") from None
 
     out = _apply_axis(x, builder(in_h, out_h), h_axis)
+    if jnp.issubdtype(orig_dtype, jnp.floating) and jnp.dtype(orig_dtype).itemsize < 4:
+        # low-precision inputs (bf16 production path): keep the intermediate
+        # between the H and W passes narrow too — HBM traffic dominates at
+        # these sizes, and the reference's fp16 amp has the same precision
+        out = out.astype(orig_dtype)
     out = _apply_axis(out, builder(in_w, out_w), w_axis)
     return out.astype(orig_dtype)
 

@@ -150,20 +150,38 @@ class RawFrameSource:
     dtype: type = np.uint8
     queue_size: int = 1000
     blocking: bool = True
+    use_native: bool | None = None  # None = auto (native if buildable)
 
     _proc: subprocess.Popen | None = field(default=None, init=False)
     _fifo: queue.Queue = field(default=None, init=False)
     _thread: threading.Thread | None = field(default=None, init=False)
     _terminated: bool = field(default=False, init=False)
+    _pump: object = field(default=None, init=False)
 
     def start(self) -> "RawFrameSource":
-        self._fifo = queue.Queue(maxsize=self.queue_size)
         self._proc = subprocess.Popen(
             list(self.cmd),
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             bufsize=10**8,
         )
+        if self.use_native is not False:
+            # native ring-buffer reader (native/framepump.cpp): frames move
+            # from the pipe into preallocated slots off the GIL
+            try:
+                from .native import NativePump
+
+                self._pump = NativePump(
+                    self._proc.stdout.fileno(),
+                    self.shape,
+                    self.dtype,
+                    capacity=min(self.queue_size, 64),
+                )
+                return self
+            except Exception:
+                if self.use_native is True:
+                    raise
+        self._fifo = queue.Queue(maxsize=self.queue_size)
         self._thread = threading.Thread(target=self._reader, daemon=True)
         self._thread.start()
         return self
@@ -180,6 +198,10 @@ class RawFrameSource:
     def grab(self, timeout: float | None = 30) -> np.ndarray | None:
         """Next payload as an array; None on EOF (or, non-blocking, when
         the FIFO is momentarily empty)."""
+        if self._pump is not None:
+            if not self.blocking and self._pump.depth == 0:
+                return None
+            return self._pump.grab(timeout or 30)
         if not self.blocking and self._fifo.empty():
             return None
         try:
@@ -192,6 +214,8 @@ class RawFrameSource:
 
     @property
     def depth(self) -> int:
+        if self._pump is not None:
+            return self._pump.depth
         return self._fifo.qsize() if self._fifo else 0
 
     def terminate(self) -> None:
@@ -202,6 +226,10 @@ class RawFrameSource:
                 self._proc.wait(timeout=5)
             except subprocess.TimeoutExpired:
                 self._proc.kill()
+        if self._pump is not None:
+            # subprocess is dead -> reader sees EOF -> join is safe
+            self._pump.terminate()
+            self._pump = None
 
 
 class RawStreamSink:

@@ -89,7 +89,11 @@ def upscale_multi(
         lr = resize(img, spec.lr_shape, "area")
     lr_before = lr
 
-    hr = sr_apply(sr_params, lr.astype(spec.compute_dtype)).astype(jnp.float32)
+    # the HR tensor stays in compute_dtype through the post chain — the
+    # color-match statistics are still reduced in f32 inside the ops, but
+    # the 4x-resolution activations move through HBM at half width (the
+    # reference runs this whole stretch in fp16 amp, :169-233)
+    hr = sr_apply(sr_params, lr.astype(spec.compute_dtype))
 
     hr = global_color_match(hr, lr_before)
     hr = local_color_match(hr, lr_before)
