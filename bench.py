@@ -24,8 +24,12 @@ def main() -> None:
     from sharkshark_tpu.models import srvgg
     from sharkshark_tpu.upscale import UpscaleSpec, upscale_multi
 
+    from sharkshark_tpu.models import cast_params
+
     cfg = srvgg.GENERAL_X4V3
-    params = srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    params = cast_params(
+        srvgg.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16
+    )
     spec = UpscaleSpec(
         lr_shape=(720, 1280),
         output_shape=(1440, 2560),
@@ -33,9 +37,12 @@ def main() -> None:
     )
     batch = 4  # reference micro-batch: min(4, fps) (pipeline.py:31)
 
+    # fast epilogue: the model emits 1440p directly (pixel-shuffle and the
+    # 2x bicubic downscale fused at LR resolution — ops/fused_epilogue.py);
+    # color matching then runs at output resolution instead of 4x
     fn = jax.jit(
         lambda p, f: upscale_multi(
-            lambda q, x: srvgg.apply(q, x, cfg=cfg), p, f, spec
+            lambda q, x: srvgg.apply_down2(q, x, cfg=cfg), p, f, spec
         )
     )
 

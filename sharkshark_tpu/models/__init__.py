@@ -3,9 +3,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from . import bsvd, egvsr, fsrcnn, rrdbnet, srvgg, torch_import
+from . import bsvd, egvsr, fsrcnn, rrdbnet, srvgg, torch_import, variants
 
-__all__ = ["bsvd", "egvsr", "fsrcnn", "rrdbnet", "srvgg", "torch_import", "cast_params"]
+__all__ = [
+    "bsvd", "egvsr", "fsrcnn", "rrdbnet", "srvgg", "torch_import",
+    "variants", "cast_params",
+]
 
 
 def cast_params(params, dtype):

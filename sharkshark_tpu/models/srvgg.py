@@ -68,14 +68,32 @@ def _act(x: jnp.ndarray, p: dict, act_type: str) -> jnp.ndarray:
 
 def apply(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
     """x: (N, H, W, in_ch) in [0,1] -> (N, H*s, W*s, out_ch)."""
-    y = x
-    for conv_p, act_p in zip(params["convs"], params["acts"]):
-        y = _act(conv2d(y, **conv_p, padding=1), act_p, cfg.act_type)
-    y = conv2d(y, **params["tail"], padding=1)
+    y = _body(params, x, cfg)
     y = pixel_shuffle(y, cfg.upscale)
     h, w = x.shape[-3], x.shape[-2]
     base = resize(x, (h * cfg.upscale, w * cfg.upscale), "nearest")
     return y + base.astype(y.dtype)
+
+
+def _body(params: dict, x: jnp.ndarray, cfg: SRVGGConfig) -> jnp.ndarray:
+    y = x
+    for conv_p, act_p in zip(params["convs"], params["acts"]):
+        y = _act(conv2d(y, **conv_p, padding=1), act_p, cfg.act_type)
+    return conv2d(y, **params["tail"], padding=1)
+
+
+def apply_down2(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
+    """Fast epilogue: x (N, H, W, C) -> (N, 2H, 2W, C), equal to
+    bicubic-2x-downscale(apply(params, x)) except a <=1 px border — the
+    720p->1440p production transform without ever materializing the 4x
+    image (see ops/fused_epilogue.py). Requires upscale == 4."""
+    from ..ops.fused_epilogue import nearest4_bicubic_down2, ps4_bicubic_down2
+
+    assert cfg.upscale == 4, cfg
+    y = _body(params, x, cfg)
+    out = ps4_bicubic_down2(y)
+    base = nearest4_bicubic_down2(x)
+    return out + base.astype(out.dtype)
 
 
 def from_torch(sd: dict[str, np.ndarray], cfg: SRVGGConfig = GENERAL_X4V3) -> dict:

@@ -1,0 +1,114 @@
+"""Fused model epilogue: pixel-shuffle(4) + bicubic 2x-downscale, without
+materializing the 4x image.
+
+The production pipeline upscales 4x with SRVGG and immediately bicubic-
+downscales 2x to the 1440p output (reference fsrcnn_upscaler.py:222-231).
+Both steps are linear, so their composition is a fixed per-phase mix of
+the 48 pre-shuffle channels with +-1-pixel neighbor taps — computable at
+LR resolution. This removes the (N, 2880, 5120, C) tensors entirely; on
+an HBM-bound chip that is the single largest post-processing cost.
+
+Bicubic d=2 taps (a=-0.75, align_corners=False): src = 2o + 0.5, taps at
+2o-1..2o+2 with weights (-0.09375, 0.59375, 0.59375, -0.09375). Mapping
+hr index 4m+p back to (LR pixel, shuffle phase):
+
+  out[2m]   = k0*ph3[m-1] + k1*ph0[m] + k2*ph1[m] + k3*ph2[m]
+  out[2m+1] = k0*ph1[m]   + k1*ph2[m] + k2*ph3[m] + k3*ph0[m+1]
+
+applied separably over H (dy phases) and W (dx phases). Border columns
+use edge-replicated shifts, which differs from clamped-index bicubic on
+the outermost output pixel only (<=1 px border, documented fast-path
+deviation; the interior is exact to float rounding).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ps4_bicubic_down2", "nearest4_bicubic_down2"]
+
+# bicubic 2x-downscale taps at frac 0.5 (a = -0.75)
+K = np.array([-0.09375, 0.59375, 0.59375, -0.09375], np.float32)
+
+
+def _shift_up(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """x[i-1] with edge replication."""
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(0, 1)
+    first = x[tuple(idx)]
+    idx[axis] = slice(0, -1)
+    return jnp.concatenate([first, x[tuple(idx)]], axis=axis)
+
+
+def _shift_down(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """x[i+1] with edge replication."""
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(-1, None)
+    last = x[tuple(idx)]
+    idx[axis] = slice(1, None)
+    return jnp.concatenate([x[tuple(idx)], last], axis=axis)
+
+
+def _mix_axis(y: jnp.ndarray, axis: int, phase_axis: int) -> jnp.ndarray:
+    """y: (..., n, ..., 4phases, ...) -> (..., 2n, ...) with the phase
+    axis consumed. axis indexes the spatial dim, phase_axis the 4-phase
+    dim (both positive)."""
+
+    def ph(p):
+        idx = [slice(None)] * y.ndim
+        idx[phase_axis] = p
+        return y[tuple(idx)]
+
+    p0, p1, p2, p3 = ph(0), ph(1), ph(2), ph(3)
+    # phase_axis removed; spatial axis position unchanged (phase_axis > axis)
+    q0 = (
+        K[0] * _shift_up(p3, axis)
+        + K[1] * p0
+        + K[2] * p1
+        + K[3] * p2
+    )
+    q1 = (
+        K[0] * p1
+        + K[1] * p2
+        + K[2] * p3
+        + K[3] * _shift_down(p0, axis)
+    )
+    out = jnp.stack([q0, q1], axis=axis + 1)  # (..., n, 2, ...)
+    shape = list(q0.shape)
+    shape[axis] = shape[axis] * 2
+    return out.reshape(shape)
+
+
+def ps4_bicubic_down2(y: jnp.ndarray) -> jnp.ndarray:
+    """y: (N, h, w, c*16) pre-shuffle tail activations (torch PixelShuffle
+    channel order: (c*4 + dy)*4 + dx) -> (N, 2h, 2w, c), equal to
+    bicubic-2x-down(pixel_shuffle(y, 4)) except the 1-px border."""
+    n, h, w, c16 = y.shape
+    c = c16 // 16
+    y6 = y.reshape(n, h, w, c, 4, 4)  # (..., dy, dx)
+    z = _mix_axis(y6, axis=1, phase_axis=4)  # consume dy -> (n, 2h, w, c, 4)
+    z = _mix_axis(z, axis=2, phase_axis=4)   # consume dx -> (n, 2h, 2w, c)
+    return z
+
+
+def nearest4_bicubic_down2(x: jnp.ndarray) -> jnp.ndarray:
+    """x: (N, h, w, c) -> (N, 2h, 2w, c), equal to
+    bicubic-2x-down(nearest-4x-up(x)) except the 1-px border.
+
+    nearest-up phases are all x, so the mix collapses to:
+      out[2m]   = k0*x[m-1] + (k1+k2+k3)*x[m]
+      out[2m+1] = (k0+k1+k2)*x[m] + k3*x[m+1]
+    """
+    a, b = float(K[0]), float(K[1] + K[2] + K[3])
+    c_, d = float(K[0] + K[1] + K[2]), float(K[3])
+
+    def mix(x, axis):
+        q0 = a * _shift_up(x, axis) + b * x
+        q1 = c_ * x + d * _shift_down(x, axis)
+        out = jnp.stack([q0, q1], axis=axis + 1)
+        shape = list(q0.shape)
+        shape[axis] = shape[axis] * 2
+        return out.reshape(shape)
+
+    return mix(mix(x, 1), 2)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["backward_warp", "grid_sample_bilinear"]
+__all__ = ["backward_warp", "backward_warp_ac0", "grid_sample_bilinear"]
 
 
 def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -73,3 +73,21 @@ def backward_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     gy = iv + flow[..., 1].astype(jnp.float32) / ((h - 1.0) / 2.0)
     grid = jnp.stack([gx, gy], axis=-1)
     return grid_sample_bilinear(x, grid)
+
+
+def backward_warp_ac0(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """STN-style warp (reference utils/motion.py:51-91): flow in pixels,
+    normalized by size (not size-1), grid_sample(align_corners=False,
+    border padding). Used by the VESPCN/SOF-VSR variants."""
+    n, h, w, _ = x.shape
+    iu = ((jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0)[None, None, :]
+    iv = ((jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0)[None, :, None]
+    gx = iu + flow[..., 0].astype(jnp.float32) / w * 2.0
+    gy = iv + flow[..., 1].astype(jnp.float32) / h * 2.0
+    # convert align_corners=False coords to the ac=True sampler's frame:
+    # pixel = (g + 1)/2 * size - 0.5  ->  g_ac1 = pixel / ((size-1)/2) - 1
+    px = (gx + 1.0) * (w / 2.0) - 0.5
+    py = (gy + 1.0) * (h / 2.0) - 0.5
+    g1x = px / ((w - 1.0) / 2.0) - 1.0
+    g1y = py / ((h - 1.0) / 2.0) - 1.0
+    return grid_sample_bilinear(x, jnp.stack([g1x, g1y], axis=-1))

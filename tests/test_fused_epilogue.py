@@ -1,0 +1,52 @@
+"""Fused ps4+bicubic-down2 epilogue vs the explicit two-step reference
+(interior exact; documented <=1px border deviation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sharkshark_tpu.models import srvgg
+from sharkshark_tpu.ops import pixel_shuffle, resize
+from sharkshark_tpu.ops.fused_epilogue import (
+    nearest4_bicubic_down2,
+    ps4_bicubic_down2,
+)
+
+TINY = srvgg.SRVGGConfig(num_feat=16, num_conv=2)
+
+
+def test_ps4_down2_matches_explicit():
+    y = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 20, 48))
+    fused = ps4_bicubic_down2(y)
+    explicit = resize(pixel_shuffle(y, 4), (24, 40), "bicubic")
+    assert fused.shape == explicit.shape == (2, 24, 40, 3)
+    # interior exact (border: edge-replicate vs clamped-index bicubic)
+    np.testing.assert_allclose(
+        np.asarray(fused[:, 2:-2, 2:-2]),
+        np.asarray(explicit[:, 2:-2, 2:-2]),
+        atol=1e-5,
+    )
+
+
+def test_nearest4_down2_matches_explicit():
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 14, 3))
+    fused = nearest4_bicubic_down2(x)
+    explicit = resize(resize(x, (40, 56), "nearest"), (20, 28), "bicubic")
+    np.testing.assert_allclose(
+        np.asarray(fused[:, 2:-2, 2:-2]),
+        np.asarray(explicit[:, 2:-2, 2:-2]),
+        atol=1e-5,
+    )
+
+
+def test_srvgg_apply_down2_matches_two_step():
+    params = srvgg.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 24, 3))
+    fused = srvgg.apply_down2(params, x, cfg=TINY)
+    two_step = resize(srvgg.apply(params, x, cfg=TINY), (32, 48), "bicubic")
+    assert fused.shape == (1, 32, 48, 3)
+    np.testing.assert_allclose(
+        np.asarray(fused[:, 2:-2, 2:-2]),
+        np.asarray(two_step[:, 2:-2, 2:-2]),
+        atol=2e-5,
+    )
