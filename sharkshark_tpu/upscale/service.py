@@ -126,6 +126,7 @@ class EsrganUpscalerService(BaseUpscalerService):
         compute_dtype=jnp.bfloat16,
         srvgg_cfg: srvgg.SRVGGConfig = srvgg.GENERAL_X4V3,
         bsvd_cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
+        fast_epilogue: bool = True,
     ) -> None:
         super().__init__(name="EsrganUpscaler")
         self.lr_shape = LR_LEVELS[lr_level]
@@ -144,6 +145,7 @@ class EsrganUpscalerService(BaseUpscalerService):
         self.compute_dtype = compute_dtype
         self.srvgg_cfg = srvgg_cfg
         self.bsvd_cfg = bsvd_cfg
+        self.fast_epilogue = fast_epilogue
 
     def proc_init(self) -> None:
         enable_persistent_cache()
@@ -162,8 +164,29 @@ class EsrganUpscalerService(BaseUpscalerService):
                 cfg, self.weights, self.weights_wdn, self.denoise_rate
             )
 
-            def sr_apply(p, x):
-                return srvgg.apply(p, x, cfg=cfg)
+            # fast epilogue: when the output is exactly 2x the processing
+            # resolution (720p->1440p, the headline config), fuse the 4x
+            # pixel-shuffle with the 2x bicubic downscale at LR resolution
+            # (ops/fused_epilogue.py). Color matching then runs at output
+            # resolution instead of the never-materialized 4x image — a
+            # quality-equivalent reordering, ~2x end-to-end throughput.
+            use_down2 = (
+                self.fast_epilogue
+                and cfg.upscale == 4
+                and self.output_shape is not None
+                and tuple(self.output_shape)
+                == (2 * self.lr_shape[0], 2 * self.lr_shape[1])
+            )
+            if use_down2:
+                log.info("fast epilogue active (fused ps4 + bicubic/2)")
+
+                def sr_apply(p, x):
+                    return srvgg.apply_down2(p, x, cfg=cfg)
+
+            else:
+
+                def sr_apply(p, x):
+                    return srvgg.apply(p, x, cfg=cfg)
 
         elif self.upscaler_model == "fsrcnn":
             if self.weights is not None:

@@ -36,6 +36,18 @@ def has_binary(name: str) -> bool:
     return shutil.which(name) is not None
 
 
+def stream_credentials() -> dict:
+    """Twitch credentials from the environment (replaces the reference's
+    gitignored src/util/env_var.py secrets module, env_var.example.py:1-3)."""
+    import os
+
+    return {
+        "stream_key": os.environ.get("SHARKSHARK_TWITCH_STREAMKEY", ""),
+        "oauth": os.environ.get("SHARKSHARK_TWITCH_OAUTH", ""),
+        "username": os.environ.get("SHARKSHARK_TWITCH_USERNAME", ""),
+    }
+
+
 def human_readable(byte_count: int) -> str:
     """Format a byte count, e.g. 1536 -> '1.5KB'.
 
