@@ -233,3 +233,28 @@ def from_torch(sd: dict[str, np.ndarray], cfg: EGVSRConfig = DEFAULT) -> dict:
         "conv_out": conv_from_torch(sd, "srnet.conv_out."),
     }
     return {"fnet": fnet, "srnet": srnet}
+
+
+def pad_sequence(
+    lr_data: "jnp.ndarray", n_pad_front: int = 0, padding_mode: str = "reflect"
+):
+    """Temporal padding for streaming inference (reference
+    models/base_model.py:91-117): prepend n_pad_front frames so the
+    recurrence warms up before the first real frame.
+
+    lr_data: (T, ...) frame-major. Returns (padded, n_pad_front)."""
+    if n_pad_front == 0:
+        return lr_data, 0
+    if padding_mode == "reflect":
+        head = jnp.flip(lr_data[1 : 1 + n_pad_front], axis=0)
+        return jnp.concatenate([head, lr_data], axis=0), n_pad_front
+    if padding_mode == "replicate":
+        head = jnp.broadcast_to(
+            lr_data[:1], (n_pad_front,) + lr_data.shape[1:]
+        )
+        return jnp.concatenate([head, lr_data], axis=0), n_pad_front
+    if padding_mode == "dual-reflect":
+        head = jnp.flip(lr_data[1 : 1 + n_pad_front], axis=0)
+        tail = jnp.flip(lr_data[-1 - n_pad_front : -1], axis=0)
+        return jnp.concatenate([head, lr_data, tail], axis=0), n_pad_front
+    raise ValueError(f"unrecognized padding mode: {padding_mode}")

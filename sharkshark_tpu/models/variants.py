@@ -54,7 +54,9 @@ def espcn_init(key: jax.Array, cfg: ESPCNConfig = ESPCNConfig()) -> dict:
         "conv1": _conv(ks[0], 5, 5, cfg.in_nc, 64),
         "conv2": _conv(ks[1], 3, 3, 64, 32),
         "conv3": _conv(ks[2], 3, 3, 32, 32),
-        "pwconv": _conv(ks[3], 1, 1, 32, cfg.scale**2),
+        # reference hardcodes 1*scale^2 (Y-channel model, espcn_nets.py:16);
+        # generalized to out_nc*scale^2 so RGB configs work too
+        "pwconv": _conv(ks[3], 1, 1, 32, cfg.out_nc * cfg.scale**2),
         "reconv": _conv(ks[4], 1, 1, 32, cfg.out_nc),
         "deconv": _conv(ks[5], 5, 5, 32, cfg.out_nc),
     }

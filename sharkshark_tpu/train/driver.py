@@ -59,6 +59,79 @@ def _model_cfg(opt: dict) -> egvsr.EGVSRConfig:
     )
 
 
+def define_generator(opt: dict):
+    """Generator registry (reference models/networks/__init__.py:3-42):
+    name -> (init_params(key), infer_sequence(params, lr (T,H,W,C)) ->
+    (T,sH,sW,C)). 'frnet'/'egvsr' share the FRNet architecture; espnet is
+    per-frame; vespnet slides a depth-frame window; sofnet takes 3-frame
+    Y windows."""
+    name = opt["model"]["generator"].get("name", "FRNet").lower()
+    scale = opt.get("scale", 4)
+
+    if name in ("frnet", "egvsr"):
+        cfg = _model_cfg(opt)
+        return {
+            "name": name,
+            "init": lambda key: egvsr.init_params(key, cfg),
+            "infer": lambda p, lr: egvsr.infer_sequence(
+                p, lr[:, None], cfg=cfg
+            )[:, 0],
+            "from_torch": lambda sd: egvsr.from_torch(sd, cfg),
+        }
+
+    from ..models import variants as V
+
+    if name == "espnet":
+        cfg = V.ESPCNConfig(
+            scale=scale,
+            in_nc=opt["model"]["generator"].get("in_nc", 3),
+            out_nc=opt["model"]["generator"].get("out_nc", 3),
+        )
+
+        def infer(p, lr):
+            return V.espcn_apply(p, lr, cfg=cfg)  # frame-major == batch
+
+        return {"name": name, "init": lambda k: V.espcn_init(k, cfg), "infer": infer}
+
+    if name == "vespnet":
+        cfg = V.VESPCNConfig(
+            scale=scale,
+            channel=opt["model"]["generator"].get("channel", 3),
+            depth=opt["model"]["generator"].get("depth", 3),
+        )
+
+        def infer(p, lr):
+            pad = cfg.depth // 2
+            outs = [
+                V.vespcn_apply(p, lr[i - pad : i + pad + 1], cfg=cfg)[0]
+                for i in range(pad, lr.shape[0] - pad)
+            ]
+            return jnp.stack(outs)
+
+        return {"name": name, "init": lambda k: V.vespcn_init(k, cfg), "infer": infer}
+
+    if name == "sofnet":
+        cfg = V.SOFVSRConfig(scale=scale)
+
+        def infer(p, lr):
+            # 3-frame single-channel windows stacked in the channel dim
+            outs = [
+                V.sofvsr_apply(
+                    p,
+                    jnp.concatenate(
+                        [lr[i - 1], lr[i], lr[i + 1]], axis=-1
+                    )[None],
+                    cfg=cfg,
+                )[0]
+                for i in range(1, lr.shape[0] - 1)
+            ]
+            return jnp.stack(outs)
+
+        return {"name": name, "init": lambda k: V.sofvsr_init(k, cfg), "infer": infer}
+
+    raise ValueError(f"unrecognized generator: {name}")
+
+
 def _make_dataset(opt: dict, split: str):
     dopt = opt["dataset"][split]
     degradation = opt["dataset"]["degradation"]["type"]
@@ -170,7 +243,7 @@ def train(opt: dict) -> None:
 
 
 def test(opt: dict, params=None, label: str = "final") -> dict:
-    mcfg = _model_cfg(opt)
+    gen = define_generator(opt)
     if params is None:
         load_path = opt["model"]["generator"].get("load_path")
         if load_path and os.path.isdir(load_path):
@@ -183,11 +256,16 @@ def test(opt: dict, params=None, label: str = "final") -> dict:
         elif load_path:
             from ..models.torch_import import load_state_dict
 
-            params = egvsr.from_torch(load_state_dict(load_path), mcfg)
+            if "from_torch" not in gen:
+                raise ValueError(f".pth import not wired for {gen['name']}")
+            params = gen["from_torch"](load_state_dict(load_path))
         else:
             raise ValueError("test mode needs model.generator.load_path or params")
 
-    infer = jax.jit(lambda p, lr: egvsr.infer_sequence(p, lr, cfg=mcfg))
+    # temporal padding for warm-up (reference base_model.py:91-117)
+    padding_mode = opt.get("test", {}).get("padding_mode", "reflect")
+    n_pad_front = opt.get("test", {}).get("num_pad_front", 0)
+    infer = jax.jit(gen["infer"])
     results = {}
     for split in [k for k in opt["dataset"] if k.startswith("test")]:
         ds = _make_dataset(opt, split)
@@ -197,10 +275,20 @@ def test(opt: dict, params=None, label: str = "final") -> dict:
         )
         save_dir = opt.get("test", {}).get("res_dir")
         for sample in ds:
-            lr = jnp.asarray(sample["lr"])[:, None]  # (T,1,h,w,C)
-            hr = np.asarray(infer(params, lr))[:, 0]
+            lr = jnp.asarray(sample["lr"])  # (T, h, w, C)
+            t_real = lr.shape[0]
+            lr, n_pad = egvsr.pad_sequence(lr, n_pad_front, padding_mode)
+            hr = np.asarray(infer(params, lr))
+            if n_pad and len(hr) == lr.shape[0]:
+                # per-frame generators: drop warm-up outputs
+                hr = hr[n_pad : n_pad + t_real]
             hr_u8 = np.clip(hr * 255 + 0.5, 0, 255).astype(np.uint8)
-            calc.compute_sequence_metrics(sample["seq_idx"], sample["gt"], hr_u8)
+            gt = sample["gt"]
+            if len(hr_u8) < len(gt):
+                # window generators (vespnet/sofnet) drop edge frames
+                off = (len(gt) - len(hr_u8)) // 2
+                gt = gt[off : off + len(hr_u8)]
+            calc.compute_sequence_metrics(sample["seq_idx"], gt, hr_u8)
             if save_dir:
                 _save_seq(save_dir, split, sample["seq_idx"], hr_u8)
         results[split] = calc.average()
