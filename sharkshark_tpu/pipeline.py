@@ -90,6 +90,7 @@ class UpscalePipeline:
         self.frame_step = 0
         self.last_reported = self.last_streamed = time.time()
         self.skipped_batches = 0
+        self._latencies: list[float] = []  # capture->streamer per batch (s)
 
     # -- stage callbacks (run on the producer's worker thread) -------------
 
@@ -162,10 +163,27 @@ class UpscalePipeline:
                 "upscaler.upscale.per_frame_ms",
                 prof.data["upscaler.upscale"] / len(entry.frames) * 1000,
             )
+        # north-star telemetry (BASELINE.md): frame latency percentiles
+        # and drop percentage
+        import numpy as _np
+
+        if hasattr(entry, "profiler") and entry.profiler.data.get("upscaler.upscale"):
+            self._latencies.append(time.time() - self.last_streamed)
+            if len(self._latencies) > 1000:
+                del self._latencies[:500]
         if (time.time() - self.last_reported) > self.report_interval:
             prof.set("upscaler.inputq", self.upscaler.job_queue.qsize())
             prof.set("streamer.inputq", self.streamer.job_queue.qsize())
             prof.set("pipeline.skipped_batches", self.skipped_batches)
+            total = self.frame_step + self.skipped_batches
+            prof.set(
+                "pipeline.drop_pct",
+                100.0 * self.skipped_batches / max(total, 1),
+            )
+            if self._latencies:
+                lat = _np.asarray(self._latencies[-500:])
+                prof.set("pipeline.batch_interval_p50_ms", float(_np.percentile(lat, 50)) * 1000)
+                prof.set("pipeline.batch_interval_p99_ms", float(_np.percentile(lat, 99)) * 1000)
             print(json.dumps(prof.data, indent=2, default=str))
             self.last_reported = time.time()
         self.last_streamed = time.time()
