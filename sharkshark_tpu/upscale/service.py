@@ -127,6 +127,7 @@ class EsrganUpscalerService(BaseUpscalerService):
         srvgg_cfg: srvgg.SRVGGConfig = srvgg.GENERAL_X4V3,
         bsvd_cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
         fast_epilogue: bool = True,
+        device: int | None = None,
     ) -> None:
         super().__init__(name="EsrganUpscaler")
         self.lr_shape = LR_LEVELS[lr_level]
@@ -146,6 +147,14 @@ class EsrganUpscalerService(BaseUpscalerService):
         self.srvgg_cfg = srvgg_cfg
         self.bsvd_cfg = bsvd_cfg
         self.fast_epilogue = fast_epilogue
+        # chip pinning parity with the reference's per-service device ids
+        # (pipeline.py:20,41); None = JAX default device
+        self.device = device
+
+    def _place(self, tree):
+        if self.device is None:
+            return tree
+        return jax.device_put(tree, jax.devices()[self.device])
 
     def proc_init(self) -> None:
         enable_persistent_cache()
@@ -210,7 +219,7 @@ class EsrganUpscalerService(BaseUpscalerService):
             raise ValueError(self.upscaler_model)
 
         self._sr_apply = sr_apply
-        self._sr_params = sr_params
+        self._sr_params = self._place(sr_params)
 
         if self.denoising:
             if self.denoise_weights is not None:
@@ -221,8 +230,8 @@ class EsrganUpscalerService(BaseUpscalerService):
             else:
                 log.warning("no BSVD weights given; using random init")
                 den = bsvd.init_params(jax.random.PRNGKey(1), self.bsvd_cfg)
-            self._params = {"sr": sr_params, "denoise": den}
-            self._den_state = init_denoise_state(1, spec, self.bsvd_cfg)
+            self._params = self._place({"sr": sr_params, "denoise": den})
+            self._den_state = self._place(init_denoise_state(1, spec, self.bsvd_cfg))
             self._single_step = ShapeCache(
                 lambda p, s, f: upscale_single_denoise(
                     sr_apply, p, s, f, spec, self.bsvd_cfg
