@@ -108,13 +108,14 @@ def init_denoise_state(
     n: int,
     spec: UpscaleSpec,
     cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> dict:
     """Fresh BSVD streaming state for the single-frame denoise path.
     Replaces the reference's registered in-module buffers
-    (model_volatile.py:140-154)."""
+    (model_volatile.py:140-154). State lives in the step's compute dtype
+    so the whole denoiser runs bf16 on the MXU by default."""
     h, w = spec.lr_shape
-    return bsvd.init_stream_state(n, h, w, cfg, dtype)
+    return bsvd.init_stream_state(n, h, w, cfg, dtype or spec.compute_dtype)
 
 
 def upscale_single_denoise(
@@ -145,12 +146,13 @@ def upscale_single_denoise(
     n, h, w, _ = lr.shape
 
     first = state["t"] == 0
+    state_dtype = state["temp1"]["skip1"].dtype
     noise_val = jnp.where(first, 0.05, 0.1 * spec.denoise_rate)
-    noise = jnp.full((n, h, w, 1), 1.0, lr.dtype) * noise_val.astype(lr.dtype)
-    x4 = jnp.concatenate([lr, noise], axis=-1)
+    noise = jnp.full((n, h, w, 1), 1.0, state_dtype) * noise_val.astype(state_dtype)
+    x4 = jnp.concatenate([lr.astype(state_dtype), noise], axis=-1)
 
     den, new_state = bsvd.stream_step(params["denoise"], state, x4, cfg=cfg)
-    den = jnp.clip(sharpen(den, 0.00002), 0.0, 1.0)
+    den = jnp.clip(sharpen(den.astype(jnp.float32), 0.00002), 0.0, 1.0)
     lr = den * spec.denoise_opacity + (1.0 - spec.denoise_opacity) * lr
 
     hr = sr_apply(params["sr"], lr.astype(spec.compute_dtype)).astype(jnp.float32)
