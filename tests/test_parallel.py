@@ -76,3 +76,42 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (2, 720, 1280, 3) and out.dtype == jnp.uint8
     ge.dryrun_multichip(8)
+
+
+def test_single_frame_spatial_sharding_matches():
+    """Single-frame latency scaling: one frame sharded across all 8
+    devices on W; XLA inserts the conv halo exchanges (SURVEY §7.8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params = srvgg.init_params(jax.random.PRNGKey(0), TINY)
+    frame = jax.random.randint(jax.random.PRNGKey(1), (1, 32, 64, 3), 0, 256, jnp.uint8)
+    ref = upscale_multi(_apply, params, frame, SPEC)
+
+    mesh = make_mesh(8, spatial=8)
+    sh = NamedSharding(mesh, P(None, None, ("data", "spatial"), None))
+    fn = jax.jit(
+        lambda p, f: upscale_multi(_apply, p, f, SPEC),
+        in_shardings=(NamedSharding(mesh, P()), sh),
+        out_shardings=sh,
+    )
+    with mesh:
+        out = fn(params, jax.device_put(frame, sh))
+    diff = np.abs(np.asarray(out, np.int16) - np.asarray(ref, np.int16))
+    assert diff.max() <= 1
+
+
+def test_tile_upscale_sharded_over_batch():
+    """Tile mode: the tile batch rides the data axis (spatial scaling of a
+    single huge frame by tiling, SURVEY §2.2)."""
+    from sharkshark_tpu.upscale import tile_upscale
+
+    params = srvgg.init_params(jax.random.PRNGKey(0), TINY)
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 48, 96, 3))
+    ref = tile_upscale(_apply, params, img, scale=4, tile=24, tile_pad=4)
+
+    mesh = make_mesh(8, spatial=1)
+    with mesh:
+        out = jax.jit(
+            lambda p, x: tile_upscale(_apply, p, x, scale=4, tile=24, tile_pad=4)
+        )(params, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
