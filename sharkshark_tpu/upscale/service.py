@@ -38,6 +38,7 @@ from .steps import (
     UpscaleSpec,
     egvsr_upscale_step,
     init_denoise_state,
+    upscale_batch_denoise,
     upscale_multi,
     upscale_single_denoise,
 )
@@ -232,8 +233,10 @@ class EsrganUpscalerService(BaseUpscalerService):
                 den = bsvd.init_params(jax.random.PRNGKey(1), self.bsvd_cfg)
             self._params = self._place({"sr": sr_params, "denoise": den})
             self._den_state = self._place(init_denoise_state(1, spec, self.bsvd_cfg))
-            self._single_step = ShapeCache(
-                lambda p, s, f: upscale_single_denoise(
+            # BSVD scans frames sequentially inside the jit; SR + color
+            # matching run batched over the micro-batch (steps.py)
+            self._batch_denoise_step = ShapeCache(
+                lambda p, s, f: upscale_batch_denoise(
                     sr_apply, p, s, f, spec, self.bsvd_cfg
                 )
             )
@@ -247,13 +250,16 @@ class EsrganUpscalerService(BaseUpscalerService):
         frames = np.asarray(frames)
         assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
         if self.single_mode:
-            outs = []
-            for i in range(len(frames)):
-                out, self._den_state = self._single_step(
-                    self._params, self._den_state, jnp.asarray(frames[i : i + 1])
-                )
-                outs.append(out)
-            return np.concatenate([np.asarray(o) for o in outs], axis=0)
+            n = len(frames)
+            if n < self.batch_size:
+                pad = np.repeat(frames[-1:], self.batch_size - n, axis=0)
+                frames = np.concatenate([frames, pad], axis=0)
+                # note: padded frames advance the BSVD stream state; for a
+                # live stream the repeated tail frame is benign warm-state
+            out, self._den_state = self._batch_denoise_step(
+                self._params, self._den_state, jnp.asarray(frames)
+            )
+            return np.asarray(out)[:n]
 
         n = len(frames)
         if n < self.batch_size:
