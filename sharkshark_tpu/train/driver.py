@@ -170,10 +170,57 @@ def _make_dataset(opt: dict, split: str):
     )
 
 
-def train(opt: dict) -> None:
-    np.random.seed(opt.get("manual_seed", 0))
+def _build_training(opt: dict):
+    """VSR (pixel+warp) or VSRGAN (TecoGAN) training per the config —
+    reference define_model (models/__init__.py): presence of a
+    model.discriminator block selects the GAN wrapper."""
     mcfg = _model_cfg(opt)
     gtr = opt["train"]["generator"]
+    seed = opt.get("manual_seed", 0)
+
+    if opt.get("model", {}).get("discriminator"):
+        from .discriminators import DiscriminatorConfig
+        from .vsrgan import VSRGANConfig, create_gan_state, make_gan_train_step
+
+        dopt = opt["model"]["discriminator"]
+        dtr = opt["train"].get("discriminator", {})
+        crop = opt["dataset"]["train"].get("crop_size", 128)
+        if opt["dataset"]["degradation"]["type"] == "BI":
+            crop = opt["dataset"]["train"].get("gt_crop_size", crop)
+        cfg = VSRGANConfig(
+            model_cfg=mcfg,
+            disc_cfg=DiscriminatorConfig(
+                in_nc=dopt.get("in_nc", 3),
+                spatial_size=crop,
+                tempo_range=dopt.get("tempo_range", 3),
+                scale=opt.get("scale", 4),
+                use_cond=dopt.get("use_cond", False),
+            ),
+            disc_type="spatial" if dopt.get("name", "stnet").lower() == "snet" else "spatio_temporal",
+            lr_g=gtr.get("lr", 5e-5),
+            lr_d=dtr.get("lr", 5e-5),
+            pixel_weight=opt["train"].get("pixel_crit", {}).get("weight", 1.0),
+            warping_weight=opt["train"].get("warping_crit", {}).get("weight", 1.0),
+            pingpong_weight=opt["train"].get("pingpong_crit", {}).get("weight", 0.5),
+            fm_weight=opt["train"].get("feature_matching_crit", {}).get("weight", 1.0),
+            gan_weight=opt["train"].get("gan_crit", {}).get("weight", 0.01),
+            use_pingpong="pingpong_crit" in opt["train"],
+            use_feature_matching="feature_matching_crit" in opt["train"],
+            crop_border_ratio=dtr.get("crop_border_ratio", 0.75),
+            update_policy=dtr.get("update_policy", "adaptive"),
+            update_threshold=dtr.get("update_threshold", 0.4),
+            gan_crit=opt["train"].get("gan_crit", {}).get("type", "GAN"),
+        )
+        fx = None
+        vgg_path = opt["train"].get("feature_crit", {}).get("vgg_weights")
+        if vgg_path:
+            from .vgg import VGGFeatureExtractor
+
+            fx = VGGFeatureExtractor(vgg_path)
+        state = create_gan_state(jax.random.PRNGKey(seed), cfg)
+        step_fn = jax.jit(make_gan_train_step(cfg, feature_extractor=fx))
+        return state, step_fn, lambda s: s.params_g
+
     cfg = VSRTrainConfig(
         model_cfg=mcfg,
         lr=gtr.get("lr", 5e-5),
@@ -185,8 +232,14 @@ def train(opt: dict) -> None:
         warping_weight=opt["train"].get("warping_crit", {}).get("weight", 1.0),
     )
     sched = define_lr_schedule(gtr.get("lr_schedule"), cfg.lr)
-    state = create_train_state(jax.random.PRNGKey(opt.get("manual_seed", 0)), cfg, sched)
+    state = create_train_state(jax.random.PRNGKey(seed), cfg, sched)
     step_fn = jax.jit(make_train_step(cfg, sched))
+    return state, step_fn, lambda s: s.params
+
+
+def train(opt: dict) -> None:
+    np.random.seed(opt.get("manual_seed", 0))
+    state, step_fn, get_params = _build_training(opt)
 
     ckpt_dir = opt["train"].get("ckpt_dir", "./ckpt")
     resume = ckpt.latest_checkpoint(ckpt_dir)
@@ -237,7 +290,7 @@ def train(opt: dict) -> None:
                 path = ckpt.save_checkpoint(ckpt_dir, state, it)
                 log.info("saved %s", path)
             if test_freq and it % test_freq == 0:
-                test(opt, params=state.params, label=f"iter_{it}")
+                test(opt, params=get_params(state), label=f"iter_{it}")
     ckpt.save_checkpoint(ckpt_dir, state, it)
     log.info("training done at iter %d", it)
 
