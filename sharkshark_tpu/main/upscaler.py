@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights-wdn", default=None,
                    help="denoise-variant .pth for DNI blending")
     p.add_argument("--denoise-weights", default=None, help="BSVD .pth path")
+    p.add_argument("--reconnects", type=int, default=0,
+                   help="rebuild the stream source up to N times on EOF")
     return p
 
 
@@ -61,6 +63,18 @@ def main(argv=None) -> None:
             weights=args.weights,
             weights_wdn=args.weights_wdn,
             denoise_weights=args.denoise_weights,
+        )
+
+    if args.reconnects:
+        from ..stream import Recoder
+
+        kwargs["recoder"] = Recoder(
+            url=args.url,
+            batch_sec=1,
+            fps=args.fps,
+            quality=args.quality,
+            audio_skip=args.audio_queue,
+            max_reconnects=args.reconnects,
         )
 
     pipeline = UpscalePipeline(

@@ -78,6 +78,9 @@ class UpscalePipeline:
             output_shape=self.upscaler.lr_shape,
         )
         self.recoder.on_queue = self.recoder_on_queue
+        if getattr(self.recoder, "output_shape", None) is None:
+            # injected recoders still resize to the processing ladder
+            self.recoder.output_shape = self.upscaler.lr_shape
 
         self.streamer = streamer or Streamer(
             resolution=self.upscaler.output_shape,

@@ -68,6 +68,7 @@ class Recoder(BaseService):
         image_grabber=None,
         audio_grabber=None,
         overlay: bool = True,
+        max_reconnects: int = 0,
     ) -> None:
         assert isinstance(batch_sec, int)
         super().__init__(name="Recoder")
@@ -80,6 +81,10 @@ class Recoder(BaseService):
         self.output_shape = output_shape
         self.overlay = overlay
         self.frame_count = 0
+        # live sources can drop; the reference dies on EOF (recoder.py:114).
+        # max_reconnects > 0 rebuilds the grabbers and keeps capturing.
+        self.max_reconnects = max_reconnects
+        self.reconnects = 0
         self._image_grabber = image_grabber
         self._audio_grabber = audio_grabber
         self._audio_delay: deque = deque()
@@ -125,6 +130,21 @@ class Recoder(BaseService):
                     frames.append(frame)
 
                 if eof:
+                    if self.reconnects < self.max_reconnects:
+                        self.reconnects += 1
+                        log.warning(
+                            "stream EOF; reconnect %d/%d",
+                            self.reconnects,
+                            self.max_reconnects,
+                        )
+                        self.proc_cleanup()
+                        self._image_grabber = None
+                        self._audio_grabber = None
+                        try:
+                            self.proc_init()
+                            continue
+                        except Exception as ex:  # noqa: BLE001
+                            log.error("reconnect failed: %s", ex)
                     self._deliver(self._eof())
                     self._eof_seen.set()
                     break

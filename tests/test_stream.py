@@ -237,3 +237,36 @@ def test_chunk_assembler_reorders():
     ready = a.add(0, b"a" * 10)
     assert ready == [b"a" * 10, b"b" * 10, b"c" * 10]
     assert a.next_position == 30
+
+
+def test_recoder_reconnects_on_eof():
+    """max_reconnects rebuilds the grabbers after a stream drop instead of
+    ending the pipeline (robustness the reference lacks)."""
+    built = []
+
+    class Flaky(Recoder):
+        def proc_init(self):
+            if self._image_grabber is None:
+                built.append(1)
+                self._image_grabber = FakeImageGrabber(n=12, h=16, w=16)
+            if self._audio_grabber is None:
+                self._audio_grabber = FakeAudioGrabber()
+
+    got = []
+
+    def on_queue(entry):
+        if not isinstance(entry, EOF):
+            got.append(entry)
+
+    rec = Flaky(
+        url="fake://", batch_sec=1, fps=12, on_queue=on_queue,
+        overlay=False, max_reconnects=2,
+        image_grabber=FakeImageGrabber(n=12, h=16, w=16),
+        audio_grabber=FakeAudioGrabber(),
+    )
+    rec.start()
+    assert rec.wait_eof(timeout=20)
+    rec.join()
+    # 1 initial source + 2 reconnects = 3 batches of 12 frames
+    assert len(built) == 2 and rec.reconnects == 2
+    assert len(got) == 3
