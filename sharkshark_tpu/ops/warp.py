@@ -43,13 +43,21 @@ def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     y0i = y0.astype(jnp.int32)
     y1i = y1.astype(jnp.int32)
 
-    flat = x.reshape(n, h * w, c).astype(jnp.float32)
+    # gather per channel over 2D (N, H*W) planes: a (N, H*W, C) gather
+    # with C=3 minor gets lane-padded ~32x by XLA TPU (measured 2.87 GB of
+    # padding at 4x 540p), OOMing HBM; per-channel gathers keep the minor
+    # dim large and unpadded
+    planes = [
+        x[..., ci].reshape(n, h * w).astype(jnp.float32) for ci in range(c)
+    ]
 
     def gather(yi, xi):
-        idx = yi * w + xi  # (N, gh, gw)
-        return jnp.take_along_axis(
-            flat, idx.reshape(n, gh * gw, 1), axis=1
-        ).reshape(n, gh, gw, c)
+        idx = (yi * w + xi).reshape(n, gh * gw)  # (N, gh*gw)
+        chans = [
+            jnp.take_along_axis(p, idx, axis=1).reshape(n, gh, gw)
+            for p in planes
+        ]
+        return jnp.stack(chans, axis=-1)
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x1i)
