@@ -3,9 +3,18 @@
 TPU rewrite of EGVSR's `backward_warp` (reference
 src/upscale/model/egvsr/utils/net_utils.py:50-93): bilinear
 `grid_sample(align_corners=True, padding_mode='border')` driven by a dense
-optical-flow field.  Implemented as a flat gather over H*W with computed
-bilinear weights — static shapes, XLA-lowered gather; a Pallas variant can
-slot in behind the same signature if the gather shows up in profiles.
+optical-flow field.  Implemented as per-channel flat gathers over H*W with
+computed bilinear weights.
+
+PERFORMANCE NOTE (measured, v5e): dense gathers are the one op class TPUs
+are genuinely bad at. The 4x-resolution warp in EGVSR's recurrence costs
+~870 ms at 2160x3840 (vs ~milliseconds for the convs around it), making
+EGVSR ~70x off its GPU-TensorRT latency. The production SRVGG path uses
+no warps and is unaffected. A block-integer-shift + hat-weighted residual decomposition was
+prototyped and measured EXACT for locally-uniform flow but corrupts
+~20% of pixels for spatially varying flow (round(flow) stitching
+discontinuities), so it was removed; a correct fast path needs a Pallas
+kernel with per-tile DMA over the tanh-bounded (+-24 LR px) flow range.
 """
 
 from __future__ import annotations
