@@ -22,7 +22,15 @@ BASELINE_FPS = 24.0
 
 def main() -> None:
     from sharkshark_tpu.models import srvgg
-    from sharkshark_tpu.upscale import UpscaleSpec, upscale_multi
+    from sharkshark_tpu.upscale import (
+        UpscaleSpec,
+        enable_persistent_cache,
+        upscale_multi,
+    )
+
+    # on-disk XLA executable cache (the TRT .pts analogue): repeat runs
+    # skip the multi-minute 720p compile
+    enable_persistent_cache()
 
     from sharkshark_tpu.models import cast_params
 

@@ -39,6 +39,10 @@ def get_bytes_hash(buffer: bytes) -> str:
     return hashlib.sha1(buffer).hexdigest()
 
 
+def image_content_type(data: bytes) -> str:
+    return "image/jpeg" if data[:2] == b"\xff\xd8" else "image/png"
+
+
 class ImageBackend:
     def __init__(
         self,
@@ -245,7 +249,8 @@ class ImageBackend:
                     {"status": "err", "err": "file not found"},
                     "404 Not Found",
                 )
-            return bytes_response(start_response, buf.getvalue(), "image/png")
+            data = buf.getvalue()
+            return bytes_response(start_response, data, image_content_type(data))
 
         @router.route("/upscale/image", "POST")
         def upscale_image(req, start_response):
@@ -283,7 +288,9 @@ class ImageBackend:
                     buf = backend.cache.read_file(filename)
                     if buf is not None:
                         return bytes_response(
-                            start_response, buf.getvalue(), "image/png"
+                            start_response,
+                            buf.getvalue(),
+                            image_content_type(buf.getvalue()),
                         )
 
             data, filename, err = backend.process_image(buffer, profiler)
@@ -303,7 +310,20 @@ class ImageBackend:
                         {"result": "ok", "cache": "miss", "url": url,
                          "profiler": profiler.data},
                     )
-            return bytes_response(start_response, data, "image/png")
+            return bytes_response(start_response, data, image_content_type(data))
+
+        @router.route("/upscale/stats")
+        def stats(req, start_response):
+            return json_response(
+                start_response,
+                {
+                    "count": backend.count,
+                    "hitcount": backend.hitcount,
+                    "worker_alive": bool(
+                        backend._upscaler and backend._upscaler.is_alive
+                    ),
+                },
+            )
 
         return router
 
