@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import itertools
 import queue
 import threading
 import time
@@ -70,6 +71,7 @@ class ImageBackend:
         self._pending_lock = threading.RLock()
         self._pending: dict[str, tuple[threading.Event, list]] = {}
         self._router_thread = None
+        self._req_counter = itertools.count()
         self.count = 0
         self.hitcount = 0
 
@@ -147,8 +149,11 @@ class ImageBackend:
         """Returns (encoded bytes | None, filename, error message)."""
         import cv2
 
-        my_id = get_bytes_hash(buffer)
-        filename = my_id + ".png"
+        # request key must be unique even for identical content: keying by
+        # content sha1 alone lets concurrent duplicate uploads overwrite
+        # each other's pending-result waiters
+        my_id = f"{get_bytes_hash(buffer)}-{next(self._req_counter)}"
+        filename = my_id.split("-")[0] + ".png"
 
         profiler.start("endpoint.io.imdecode")
         img, alpha, is_mono = self._decode(buffer)

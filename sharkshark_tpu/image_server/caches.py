@@ -220,7 +220,12 @@ class DiskImageCache(ImageCache):
 
     def write_file(self, filename: str, buffer: io.BytesIO) -> str:
         data = buffer.getvalue()
-        with open(self._get_path(filename), "wb") as f:
+        path = self._get_path(filename)
+        try:
+            self.size -= os.path.getsize(path)  # overwriting: drop old size
+        except FileNotFoundError:
+            pass
+        with open(path, "wb") as f:
             f.write(data)
         with self._table.write() as t:
             t[filename] = time.time()

@@ -87,7 +87,7 @@ class CacheFrontend:
                 )
 
             lock = fe.locks.file_lock(filename, timeout=120, blocking_timeout=10)
-            lock.acquire(blocking=True)
+            acquired = bool(lock.acquire(blocking=True))
             try:
                 # double-check: someone may have filled it while we waited
                 if fe.cache.has_file(filename):
@@ -110,7 +110,8 @@ class CacheFrontend:
                      "url": f"/upscale/file/{filename}"},
                 )
             finally:
-                lock.release()
+                if acquired:
+                    lock.release()
 
         @router.route("/upscale/file/<filename>")
         def download_file(req, start_response, filename):

@@ -114,11 +114,10 @@ def build_sr_model(
             paths = [model_path]
         else:
             paths = fetch_weights(name, weight_dir)
+        # load_state_dict already unwraps params/params_ema containers
         sd = torch_import.load_state_dict(paths[-1])
-        sd = sd.get("params_ema", sd.get("params", sd)) if isinstance(sd, dict) else sd
         if entry.dni_partner and denoise_strength < 1.0 and len(paths) > 1:
             sd_wdn = torch_import.load_state_dict(paths[0])
-            sd_wdn = sd_wdn.get("params", sd_wdn)
             sd = torch_import.dni_blend(sd, sd_wdn, denoise_strength)
         if entry.arch == "srvgg":
             params = srvgg.from_torch(sd, entry.cfg)

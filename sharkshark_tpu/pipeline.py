@@ -178,10 +178,11 @@ class UpscalePipeline:
             prof.set("upscaler.inputq", self.upscaler.job_queue.qsize())
             prof.set("streamer.inputq", self.streamer.job_queue.qsize())
             prof.set("pipeline.skipped_batches", self.skipped_batches)
-            total = self.frame_step + self.skipped_batches
+            # frame_step already counts every micro-batch, including ones
+            # later dropped on a full queue — don't add skips again
             prof.set(
                 "pipeline.drop_pct",
-                100.0 * self.skipped_batches / max(total, 1),
+                100.0 * self.skipped_batches / max(self.frame_step, 1),
             )
             if self._latencies:
                 lat = _np.asarray(self._latencies[-500:])

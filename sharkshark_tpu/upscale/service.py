@@ -98,11 +98,10 @@ def _load_srvgg_params(
     if weights is None:
         log.warning("no SRVGG weights given; using random init")
         return srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    # load_state_dict already unwraps params/params_ema containers
     sd = torch_import.load_state_dict(weights)
-    sd = sd.get("params", sd) if isinstance(sd, dict) else sd
     if weights_wdn is not None and denoise_rate < 1.0:
         sd_wdn = torch_import.load_state_dict(weights_wdn)
-        sd_wdn = sd_wdn.get("params", sd_wdn)
         sd = torch_import.dni_blend(sd, sd_wdn, denoise_rate)
     return srvgg.from_torch(sd, cfg)
 
@@ -220,7 +219,8 @@ class EsrganUpscalerService(BaseUpscalerService):
             raise ValueError(self.upscaler_model)
 
         self._sr_apply = sr_apply
-        self._sr_params = self._place(sr_params)
+        sr_params = self._place(sr_params)
+        self._sr_params = sr_params
 
         if self.denoising:
             if self.denoise_weights is not None:
@@ -231,7 +231,8 @@ class EsrganUpscalerService(BaseUpscalerService):
             else:
                 log.warning("no BSVD weights given; using random init")
                 den = bsvd.init_params(jax.random.PRNGKey(1), self.bsvd_cfg)
-            self._params = self._place({"sr": sr_params, "denoise": den})
+            # reuse the already-placed SR params (one device copy)
+            self._params = {"sr": sr_params, "denoise": self._place(den)}
             self._den_state = self._place(init_denoise_state(1, spec, self.bsvd_cfg))
             # BSVD scans frames sequentially inside the jit; SR + color
             # matching run batched over the micro-batch (steps.py)
@@ -306,7 +307,11 @@ class EgvsrUpscalerService(BaseUpscalerService):
         )
         self.spec = spec
         h, w = self.lr_shape
-        self._state = egvsr.init_recurrent_state(1, h, w, self.cfg)
+        # carry dtype must match what the step stores (compute_dtype), or
+        # the second frame's new signature forces a full recompile
+        self._state = egvsr.init_recurrent_state(
+            1, h, w, self.cfg, dtype=self.compute_dtype
+        )
         self._step = ShapeCache(
             lambda p, s, f: egvsr_upscale_step(p, s, f, spec)
         )

@@ -104,6 +104,10 @@ def upscale_multi(
     return to_uint8(hr)
 
 
+def _ceil4(v: int) -> int:
+    return -(-v // 4) * 4
+
+
 def init_denoise_state(
     n: int,
     spec: UpscaleSpec,
@@ -113,9 +117,24 @@ def init_denoise_state(
     """Fresh BSVD streaming state for the single-frame denoise path.
     Replaces the reference's registered in-module buffers
     (model_volatile.py:140-154). State lives in the step's compute dtype
-    so the whole denoiser runs bf16 on the MXU by default."""
-    h, w = spec.lr_shape
+    so the whole denoiser runs bf16 on the MXU by default. Dims are
+    rounded up to multiples of 4 (two stride-2 stages); the steps pad and
+    crop accordingly, covering the odd ladder entries like 630x1120."""
+    h, w = _ceil4(spec.lr_shape[0]), _ceil4(spec.lr_shape[1])
     return bsvd.init_stream_state(n, h, w, cfg, dtype or spec.compute_dtype)
+
+
+def _bsvd_pad(x: jnp.ndarray, spec: UpscaleSpec) -> jnp.ndarray:
+    h, w = spec.lr_shape
+    ph, pw = _ceil4(h) - h, _ceil4(w) - w
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    return x
+
+
+def _bsvd_crop(y: jnp.ndarray, spec: UpscaleSpec) -> jnp.ndarray:
+    h, w = spec.lr_shape
+    return y[:, :h, :w, :]
 
 
 def upscale_single_denoise(
@@ -139,6 +158,15 @@ def upscale_single_denoise(
     0.8 opacity with the pre-denoise frame (:279-281). The SR stage then
     runs on the denoised frame with an HR sharpen (7e-5, :298-299). The
     single path does global color match only — no local match (:302-313).
+
+    Temporal note: the blended BSVD output is SHIFT_NUM (16) frames behind
+    the current frame. This matches the reference's production denoiser —
+    the volatile BSVD carries its shift buffers across calls with reset
+    disabled (model_volatile.py:149-154,193-195), so its per-call output
+    has the same pipeline delay.
+
+    lr_shape must be even in both dims; odd heights in the ladder (630)
+    are padded to the next /4 multiple for BSVD and cropped back.
     """
     img = to_float(frame)
     lr = resize(img, spec.lr_shape, "area")
@@ -147,11 +175,13 @@ def upscale_single_denoise(
 
     first = state["t"] == 0
     state_dtype = state["temp1"]["skip1"].dtype
+    lr_p = _bsvd_pad(lr, spec)
     noise_val = jnp.where(first, 0.05, 0.1 * spec.denoise_rate)
-    noise = jnp.full((n, h, w, 1), 1.0, state_dtype) * noise_val.astype(state_dtype)
-    x4 = jnp.concatenate([lr.astype(state_dtype), noise], axis=-1)
+    noise = jnp.full(lr_p.shape[:3] + (1,), 1.0, state_dtype) * noise_val.astype(state_dtype)
+    x4 = jnp.concatenate([lr_p.astype(state_dtype), noise], axis=-1)
 
     den, new_state = bsvd.stream_step(params["denoise"], state, x4, cfg=cfg)
+    den = _bsvd_crop(den, spec)
     den = jnp.clip(sharpen(den.astype(jnp.float32), 0.00002), 0.0, 1.0)
     lr = den * spec.denoise_opacity + (1.0 - spec.denoise_opacity) * lr
 
@@ -186,14 +216,19 @@ def upscale_batch_denoise(
     t, h, w, _ = lr.shape
     state_dtype = state["temp1"]["skip1"].dtype
 
+    lr_p = _bsvd_pad(lr, spec)
+
     def body(st, x):
         noise_val = jnp.where(st["t"] == 0, 0.05, 0.1 * spec.denoise_rate)
-        noise = jnp.full((1, h, w, 1), 1.0, state_dtype) * noise_val.astype(state_dtype)
+        noise = jnp.full(
+            (1,) + x.shape[:2] + (1,), 1.0, state_dtype
+        ) * noise_val.astype(state_dtype)
         x4 = jnp.concatenate([x[None].astype(state_dtype), noise], axis=-1)
         y, st = bsvd.stream_step(params["denoise"], st, x4, cfg=cfg)
         return st, y[0]
 
-    new_state, den = jax.lax.scan(body, state, lr)
+    new_state, den = jax.lax.scan(body, state, lr_p)
+    den = _bsvd_crop(den, spec)
     den = jnp.clip(sharpen(den.astype(jnp.float32), 0.00002), 0.0, 1.0)
     lr = den * spec.denoise_opacity + (1.0 - spec.denoise_opacity) * lr
 

@@ -201,3 +201,22 @@ def test_local_lock_registry_serializes():
     t1.start(); t2.start(); t1.join(); t2.join()
     # no interleaving: every -in is followed by its own -out
     assert order[0][:1] == order[1][:1] and order[2][:1] == order[3][:1]
+
+
+def test_concurrent_duplicate_uploads_both_succeed(backend_server):
+    """Identical bytes posted concurrently must not clobber each other's
+    pending-result waiters (regression: sha1-keyed registry overwrite)."""
+    import concurrent.futures
+
+    url, _ = backend_server
+    png = _png_bytes(value=201)
+
+    def post():
+        return httpx.post(
+            f"{url}/upscale/image", files={"file": png},
+            params={"return_type": "file"}, timeout=120,
+        ).status_code
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        codes = list(pool.map(lambda _: post(), range(4)))
+    assert codes == [200, 200, 200, 200], codes

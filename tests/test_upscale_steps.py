@@ -125,3 +125,28 @@ def test_shape_cache_counts_signatures(sr_params):
     cache(sr_params, a)
     cache(sr_params, b)
     assert cache.num_signatures == 2
+
+
+def test_denoise_handles_odd_ladder_shapes(sr_params):
+    """lr_level 2 is 630x1120 — not a multiple of 4; the denoise steps must
+    pad/crop for BSVD's two stride-2 stages (regression: shape crash)."""
+    from sharkshark_tpu.upscale import upscale_batch_denoise
+
+    spec = UpscaleSpec(
+        lr_shape=(30, 44),  # not /4 in H; (32, 44) padded internally
+        output_shape=(60, 88),
+        compute_dtype=jnp.float32,
+    )
+    params = {
+        "sr": sr_params,
+        "denoise": bsvd.init_params(jax.random.PRNGKey(7), TINY_BSVD),
+    }
+    state = init_denoise_state(1, spec, TINY_BSVD)
+    frames = jnp.zeros((2, 30, 44, 3), jnp.uint8)
+    out, state = jax.jit(
+        lambda p, s, f: upscale_batch_denoise(
+            _srvgg_apply, p, s, f, spec, TINY_BSVD
+        )
+    )(params, state, frames)
+    assert out.shape == (2, 60, 88, 3)
+    assert int(state["t"]) == 2
