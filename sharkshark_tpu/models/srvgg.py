@@ -67,8 +67,16 @@ def _act(x: jnp.ndarray, p: dict, act_type: str) -> jnp.ndarray:
 
 
 def apply(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
-    """x: (N, H, W, in_ch) in [0,1] -> (N, H*s, W*s, out_ch)."""
+    """x: (N, H, W, in_ch) in [0,1] -> (N, H*s, W*s, out_ch).
+
+    The nearest-upsampled residual is added in pre-shuffle channel space
+    (nearest_s(x) == pixel_shuffle(repeat(x, s^2)) exactly, phase-constant)
+    so only one HR tensor is ever materialized — a separate nearest resize
+    at 4x1080p made XLA pick a C-minor layout padded 42x and OOM HBM."""
     y = _body(params, x, cfg)
+    if cfg.num_in_ch == cfg.num_out_ch:
+        y = y + jnp.repeat(x.astype(y.dtype), cfg.upscale**2, axis=-1)
+        return pixel_shuffle(y, cfg.upscale)
     y = pixel_shuffle(y, cfg.upscale)
     h, w = x.shape[-3], x.shape[-2]
     base = resize(x, (h * cfg.upscale, w * cfg.upscale), "nearest")
