@@ -90,18 +90,26 @@ def _body(params: dict, x: jnp.ndarray, cfg: SRVGGConfig) -> jnp.ndarray:
     return conv2d(y, **params["tail"], padding=1)
 
 
-def apply_down2(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
-    """Fast epilogue: x (N, H, W, C) -> (N, 2H, 2W, C), equal to
-    bicubic-2x-downscale(apply(params, x)) except a <=1 px border — the
-    720p->1440p production transform without ever materializing the 4x
-    image (see ops/fused_epilogue.py). Requires upscale == 4."""
-    from ..ops.fused_epilogue import nearest4_bicubic_down2, ps4_bicubic_down2
+def apply_down(params: dict, x: jnp.ndarray, d: int, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
+    """Fast epilogue: x (N, H, W, C) -> (N, 4H/d, 4W/d, C), equal to
+    bicubic-d-downscale(apply(params, x)) without ever materializing the
+    4x image (ops/fused_epilogue.py). d=2 deviates on a <=1 px border;
+    d=3 and d=4 are exact (pure subsample / pure channel mix). Requires
+    upscale == 4; d=3 needs H, W divisible by 3."""
+    from ..ops import fused_epilogue as fe
 
-    assert cfg.upscale == 4, cfg
+    assert cfg.upscale == 4 and d in (2, 3, 4), (cfg, d)
     y = _body(params, x, cfg)
-    out = ps4_bicubic_down2(y)
-    base = nearest4_bicubic_down2(x)
-    return out + base.astype(out.dtype)
+    ps = {2: fe.ps4_bicubic_down2, 3: fe.ps4_bicubic_down3, 4: fe.ps4_bicubic_down4}[d]
+    base_fn = {2: fe.nearest4_bicubic_down2, 3: fe.nearest4_bicubic_down3,
+               4: fe.nearest4_bicubic_down4}[d]
+    out = ps(y)
+    return out + base_fn(x).astype(out.dtype)
+
+
+def apply_down2(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
+    """720p->1440p production transform (apply_down with d=2)."""
+    return apply_down(params, x, 2, cfg=cfg)
 
 
 def from_torch(sd: dict[str, np.ndarray], cfg: SRVGGConfig = GENERAL_X4V3) -> dict:

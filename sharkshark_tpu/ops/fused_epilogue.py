@@ -26,7 +26,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ps4_bicubic_down2", "nearest4_bicubic_down2"]
+__all__ = [
+    "ps4_bicubic_down2",
+    "nearest4_bicubic_down2",
+    "ps4_bicubic_down3",
+    "ps4_bicubic_down4",
+    "nearest4_bicubic_down4",
+]
 
 # bicubic 2x-downscale taps at frac 0.5 (a = -0.75)
 K = np.array([-0.09375, 0.59375, 0.59375, -0.09375], np.float32)
@@ -112,3 +118,80 @@ def nearest4_bicubic_down2(x: jnp.ndarray) -> jnp.ndarray:
         return out.reshape(shape)
 
     return mix(mix(x, 1), 2)
+
+
+def ps4_bicubic_down3(y: jnp.ndarray) -> jnp.ndarray:
+    """y: (N, h, w, c*16) pre-shuffle -> (N, 4h/3, 4w/3, c), equal to
+    bicubic-3x-down(pixel_shuffle(y, 4)). h, w must be multiples of 3.
+
+    Non-antialiased bicubic at an integer source stride of 3 has src =
+    3o + 1 with frac 0 — weights (0, 1, 0, 0) — i.e. PURE SUBSAMPLING of
+    the 4x image at positions 3o+1. Those positions map to shuffle phase
+    (3o+1) mod 4 and block (3o+1)//4, a static per-phase strided slice."""
+    n, h, w, c16 = y.shape
+    assert h % 3 == 0 and w % 3 == 0, (h, w)
+    c = c16 // 16
+    oh, ow = 4 * h // 3, 4 * w // 3
+    y6 = y.reshape(n, h, w, c, 4, 4)
+
+    def pick_axis(z, axis, phase_axis, out_size):
+        # out index o = 4m + q (q in 0..3): hr pos 3o+1 -> phase (3q+1)%4,
+        # block 3m + (3q+1)//4
+        parts = []
+        for q in range(4):
+            ph = (3 * q + 1) % 4
+            off = (3 * q + 1) // 4
+            idx = [slice(None)] * z.ndim
+            idx[phase_axis] = ph
+            zq = z[tuple(idx)]  # phase consumed
+            idx2 = [slice(None)] * zq.ndim
+            idx2[axis] = slice(off, off + 3 * (out_size // 4), 3)
+            parts.append(zq[tuple(idx2)])
+        stacked = jnp.stack(parts, axis=axis + 1)  # (..., out/4, 4, ...)
+        shape = list(parts[0].shape)
+        shape[axis] = out_size
+        return stacked.reshape(shape)
+
+    z = pick_axis(y6, axis=1, phase_axis=4, out_size=oh)  # dy consumed
+    z = pick_axis(z, axis=2, phase_axis=4, out_size=ow)   # dx consumed
+    return z
+
+
+def ps4_bicubic_down4(y: jnp.ndarray) -> jnp.ndarray:
+    """y: (N, h, w, c*16) pre-shuffle -> (N, h, w, c), equal to
+    bicubic-4x-down(pixel_shuffle(y, 4)): src = 4o + 1.5, all four taps
+    inside block o — a pure per-axis channel mix with the d=2 weights."""
+    n, h, w, c16 = y.shape
+    c = c16 // 16
+    y6 = y.reshape(n, h, w, c, 4, 4)
+    k = jnp.asarray(K)
+    z = jnp.einsum("nhwcde,d->nhwce", y6, k)
+    return jnp.einsum("nhwce,e->nhwc", z, k)
+
+
+def nearest4_bicubic_down4(x: jnp.ndarray) -> jnp.ndarray:
+    """bicubic-4x-down(nearest-4x-up(x)) == x exactly (all taps hit the
+    same source pixel and the kernel sums to 1)."""
+    return x
+
+
+def nearest4_bicubic_down3(x: jnp.ndarray) -> jnp.ndarray:
+    """bicubic-3x-down(nearest-4x-up(x)): subsampling positions 3o+1 of
+    the nearest-up image -> x[(3o+1)//4], a per-phase strided slice.
+    H, W must be multiples of 3."""
+    n, h, w, c = x.shape
+    assert h % 3 == 0 and w % 3 == 0, (h, w)
+
+    def pick(z, axis, out_size):
+        parts = []
+        for q in range(4):
+            off = (3 * q + 1) // 4
+            idx = [slice(None)] * z.ndim
+            idx[axis] = slice(off, off + 3 * (out_size // 4), 3)
+            parts.append(z[tuple(idx)])
+        stacked = jnp.stack(parts, axis=axis + 1)
+        shape = list(parts[0].shape)
+        shape[axis] = out_size
+        return stacked.reshape(shape)
+
+    return pick(pick(x, 1, 4 * h // 3), 2, 4 * w // 3)

@@ -173,24 +173,27 @@ class EsrganUpscalerService(BaseUpscalerService):
                 cfg, self.weights, self.weights_wdn, self.denoise_rate
             )
 
-            # fast epilogue: when the output is exactly 2x the processing
-            # resolution (720p->1440p, the headline config), fuse the 4x
-            # pixel-shuffle with the 2x bicubic downscale at LR resolution
-            # (ops/fused_epilogue.py). Color matching then runs at output
-            # resolution instead of the never-materialized 4x image — a
-            # quality-equivalent reordering, ~2x end-to-end throughput.
-            use_down2 = (
-                self.fast_epilogue
-                and cfg.upscale == 4
-                and self.output_shape is not None
-                and tuple(self.output_shape)
-                == (2 * self.lr_shape[0], 2 * self.lr_shape[1])
-            )
-            if use_down2:
-                log.info("fast epilogue active (fused ps4 + bicubic/2)")
+            # fast epilogue: when the output is 4/d of the processing
+            # resolution for d in {2,3,4} (720p->1440p, 1080p->1440p,
+            # denoise-only modes), fuse the 4x pixel-shuffle with the
+            # bicubic downscale at LR resolution (ops/fused_epilogue.py).
+            # d=3/4 are exact; d=2 reorders color matching to the output
+            # resolution (quality-equivalent), ~2x end-to-end throughput.
+            down_d = None
+            if self.fast_epilogue and cfg.upscale == 4 and self.output_shape:
+                oh, ow = self.output_shape
+                lh, lw = self.lr_shape
+                for d in (2, 3, 4):
+                    if (oh * d, ow * d) == (4 * lh, 4 * lw) and (
+                        d != 3 or (lh % 3 == 0 and lw % 3 == 0)
+                    ):
+                        down_d = d
+                        break
+            if down_d:
+                log.info("fast epilogue active (fused ps4 + bicubic/%d)", down_d)
 
-                def sr_apply(p, x):
-                    return srvgg.apply_down2(p, x, cfg=cfg)
+                def sr_apply(p, x, d=down_d):
+                    return srvgg.apply_down(p, x, d, cfg=cfg)
 
             else:
 

@@ -50,3 +50,44 @@ def test_srvgg_apply_down2_matches_two_step():
         np.asarray(two_step[:, 2:-2, 2:-2]),
         atol=2e-5,
     )
+
+
+def test_ps4_down3_exact():
+    y = jax.random.normal(jax.random.PRNGKey(3), (1, 9, 12, 48))
+    from sharkshark_tpu.ops.fused_epilogue import ps4_bicubic_down3
+
+    explicit = resize(pixel_shuffle(y, 4), (12, 16), "bicubic")
+    np.testing.assert_allclose(
+        np.asarray(ps4_bicubic_down3(y)), np.asarray(explicit), atol=1e-6
+    )
+
+
+def test_ps4_down4_exact():
+    y = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 10, 48))
+    from sharkshark_tpu.ops.fused_epilogue import ps4_bicubic_down4
+
+    explicit = resize(pixel_shuffle(y, 4), (6, 10), "bicubic")
+    np.testing.assert_allclose(
+        np.asarray(ps4_bicubic_down4(y)), np.asarray(explicit), atol=1e-5
+    )
+
+
+def test_srvgg_apply_down3_matches_two_step():
+    params = srvgg.init_params(jax.random.PRNGKey(5), TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (1, 12, 18, 3))
+    fused = srvgg.apply_down(params, x, 3, cfg=TINY)
+    two_step = resize(srvgg.apply(params, x, cfg=TINY), (16, 24), "bicubic")
+    assert fused.shape == (1, 16, 24, 3)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(two_step), atol=1e-5
+    )
+
+
+def test_srvgg_apply_down4_matches_two_step():
+    params = srvgg.init_params(jax.random.PRNGKey(7), TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 8, 12, 3))
+    fused = srvgg.apply_down(params, x, 4, cfg=TINY)
+    two_step = resize(srvgg.apply(params, x, cfg=TINY), (8, 12), "bicubic")
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(two_step), atol=1e-5
+    )
