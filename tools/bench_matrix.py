@@ -54,9 +54,15 @@ def main(argv=None) -> None:
         spec = UpscaleSpec(
             lr_shape=lr, output_shape=hr, compute_dtype=jnp.bfloat16
         )
-        fused = hr == (2 * lr[0], 2 * lr[1])
+        fused = None
+        for d in (2, 3, 4):
+            if (hr[0] * d, hr[1] * d) == (4 * lr[0], 4 * lr[1]) and (
+                d != 3 or (lr[0] % 3 == 0 and lr[1] % 3 == 0)
+            ):
+                fused = d
+                break
         apply_fn = (
-            (lambda p, x: srvgg.apply_down2(p, x, cfg=cfg))
+            (lambda p, x, d=fused: srvgg.apply_down(p, x, d, cfg=cfg))
             if fused
             else (lambda p, x: srvgg.apply(p, x, cfg=cfg))
         )
