@@ -112,6 +112,23 @@ def apply_down2(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3
     return apply_down(params, x, 2, cfg=cfg)
 
 
+def apply_down_rational(
+    params: dict, x: jnp.ndarray, num: int, den: int, *,
+    cfg: SRVGGConfig = GENERAL_X4V3,
+) -> jnp.ndarray:
+    """Fused epilogue for ANY rational downscale num/den of the 4x output
+    (exact in the interior; <=1-block edge-replicated borders). Covers the
+    whole ladder: 540p->1440p is 3/2, 900p->1440p is 5/2, 630p->1440p is
+    7/4, etc. (ops/fused_epilogue.py)."""
+    from ..ops import fused_epilogue as fe
+
+    assert cfg.upscale == 4, cfg
+    y = _body(params, x, cfg)
+    out = fe.ps4_bicubic_down_rational(y, num, den)
+    base = fe.nearest4_bicubic_down_rational(x, num, den)
+    return out + base.astype(out.dtype)
+
+
 def from_torch(sd: dict[str, np.ndarray], cfg: SRVGGConfig = GENERAL_X4V3) -> dict:
     """Reference module list: body.[conv,act]*(num_conv+1) + tail conv at
     body.{2*(num_conv+1)} (factory.py:42-69)."""

@@ -195,3 +195,122 @@ def nearest4_bicubic_down3(x: jnp.ndarray) -> jnp.ndarray:
         return stacked.reshape(shape)
 
     return pick(pick(x, 1, 4 * h // 3), 2, 4 * w // 3)
+
+
+def _cubic_w(t: float, a: float = -0.75) -> float:
+    at = abs(t)
+    if at <= 1.0:
+        return (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0
+    if at < 2.0:
+        return a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a
+    return 0.0
+
+
+def _rational_plan(num: int, den: int):
+    """Tap plan for bicubic downscale by f = num/den composed with ps4.
+
+    Returns (P, stride_blocks, classes) where classes[c] is a list of
+    (block_offset, phase, weight) for output indices o ≡ c (mod P).
+    Output pixel o samples src = f*o + (f-1)/2 with 4 cubic taps."""
+    from fractions import Fraction
+    from math import gcd, floor
+
+    f = Fraction(num, den)
+    # smallest P with f*P divisible by 4
+    P = 4 * den // gcd(num, 4 * den)
+    fp = f * P
+    assert fp % 4 == 0, (num, den, P)
+    stride_blocks = int(fp) // 4
+    classes = []
+    for c in range(P):
+        src = f * c + (f - 1) / 2
+        i0 = floor(src)
+        frac = float(src - i0)
+        taps = []
+        for t in range(-1, 3):
+            wgt = _cubic_w(t - frac)
+            if wgt == 0.0:
+                continue
+            pos = i0 + t
+            taps.append((pos // 4, pos % 4, wgt))
+        classes.append(taps)
+    return P, stride_blocks, classes
+
+
+def _edge_pad_axis(z: jnp.ndarray, axis: int, lo: int, hi: int) -> jnp.ndarray:
+    if lo == 0 and hi == 0:
+        return z
+    pads = [(0, 0)] * z.ndim
+    pads[axis] = (lo, hi)
+    return jnp.pad(z, pads, mode="edge")
+
+
+def _apply_rational_axis(z, axis, phase_axis, out_size, plan):
+    """z: blocks on `axis`, 4 shuffle phases on `phase_axis` (or None for
+    the nearest-residual case where z has no phase axis)."""
+    P, stride, classes = plan
+    assert out_size % P == 0, (out_size, P)
+    n_u = out_size // P
+    offs = [b for taps in classes for (b, _, _) in taps]
+    pad_l = max(0, -min(offs))
+    max_need = max(offs) + stride * (n_u - 1)
+    pad_r = max(0, max_need - (z.shape[axis] - 1))
+    zp = _edge_pad_axis(z, axis, pad_l, pad_r)
+
+    outs = []
+    for taps in classes:
+        acc = None
+        for boff, ph, wgt in taps:
+            if phase_axis is not None:
+                idx = [slice(None)] * zp.ndim
+                idx[phase_axis] = ph
+                src = zp[tuple(idx)]
+            else:
+                src = zp
+            start = boff + pad_l
+            idx2 = [slice(None)] * src.ndim
+            idx2[axis] = slice(start, start + stride * n_u, stride)
+            term = src[tuple(idx2)] * wgt
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    stacked = jnp.stack(outs, axis=axis + 1)  # (..., n_u, P, ...)
+    shape = list(outs[0].shape)
+    shape[axis] = out_size
+    return stacked.reshape(shape)
+
+
+def ps4_bicubic_down_rational(y: jnp.ndarray, num: int, den: int) -> jnp.ndarray:
+    """y: (N, h, w, c*16) pre-shuffle -> bicubic-(num/den)-downscale of
+    pixel_shuffle(y, 4): output (N, 4h*den/num, 4w*den/num, c). Covers any
+    ladder ratio (2, 3, 4, 3/2, 5/2, 7/4, ...); borders use edge-replicated
+    blocks (<= 1 block deviation vs clamped-index bicubic)."""
+    n, h, w, c16 = y.shape
+    c = c16 // 16
+    oh, ow = 4 * h * den // num, 4 * w * den // num
+    assert oh * num == 4 * h * den and ow * num == 4 * w * den, (h, w, num, den)
+    plan = _rational_plan(num, den)
+    y6 = y.reshape(n, h, w, c, 4, 4)
+    z = _apply_rational_axis(y6, 1, 4, oh, plan)   # consume dy
+    z = _apply_rational_axis(z, 2, 4, ow, plan)    # consume dx
+    return z
+
+
+def nearest4_bicubic_down_rational(x: jnp.ndarray, num: int, den: int) -> jnp.ndarray:
+    """bicubic-(num/den)-down(nearest-4x-up(x)) via the same tap plan: the
+    nearest image's value at hr position 4b+p is x[b], so phases collapse
+    and taps hitting the same block merge."""
+    n, h, w, c = x.shape
+    oh, ow = 4 * h * den // num, 4 * w * den // num
+    plan = _rational_plan(num, den)
+    # merge same-block taps (phase is irrelevant for the nearest image)
+    P, stride, classes = plan
+    merged = []
+    for taps in classes:
+        acc: dict[int, float] = {}
+        for boff, _ph, wgt in taps:
+            acc[boff] = acc.get(boff, 0.0) + wgt
+        merged.append([(b, 0, wgt) for b, wgt in sorted(acc.items())])
+    mplan = (P, stride, merged)
+    z = _apply_rational_axis(x, 1, None, oh, mplan)
+    z = _apply_rational_axis(z, 2, None, ow, mplan)
+    return z

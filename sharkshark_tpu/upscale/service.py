@@ -179,21 +179,26 @@ class EsrganUpscalerService(BaseUpscalerService):
             # bicubic downscale at LR resolution (ops/fused_epilogue.py).
             # d=3/4 are exact; d=2 reorders color matching to the output
             # resolution (quality-equivalent), ~2x end-to-end throughput.
-            down_d = None
+            ratio = None
             if self.fast_epilogue and cfg.upscale == 4 and self.output_shape:
+                from fractions import Fraction
+                from math import gcd
+
                 oh, ow = self.output_shape
                 lh, lw = self.lr_shape
-                for d in (2, 3, 4):
-                    if (oh * d, ow * d) == (4 * lh, 4 * lw) and (
-                        d != 3 or (lh % 3 == 0 and lw % 3 == 0)
-                    ):
-                        down_d = d
-                        break
-            if down_d:
-                log.info("fast epilogue active (fused ps4 + bicubic/%d)", down_d)
+                if 4 * lh * ow == 4 * lw * oh and 4 * lh >= oh:
+                    f = Fraction(4 * lh, oh)
+                    num, den = f.numerator, f.denominator
+                    period = 4 * den // gcd(num, 4 * den)
+                    if oh % period == 0 and ow % period == 0:
+                        ratio = (num, den)
+            if ratio:
+                log.info(
+                    "fast epilogue active (fused ps4 + bicubic %d/%d)", *ratio
+                )
 
-                def sr_apply(p, x, d=down_d):
-                    return srvgg.apply_down(p, x, d, cfg=cfg)
+                def sr_apply(p, x, r=ratio):
+                    return srvgg.apply_down_rational(p, x, r[0], r[1], cfg=cfg)
 
             else:
 

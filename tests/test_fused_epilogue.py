@@ -91,3 +91,45 @@ def test_srvgg_apply_down4_matches_two_step():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(two_step), atol=1e-5
     )
+
+
+def test_rational_fused_epilogue_exact_interior():
+    """Generic rational downscale composed with ps4 — exact interiors for
+    the whole ladder's ratios."""
+    from sharkshark_tpu.ops.fused_epilogue import (
+        nearest4_bicubic_down_rational,
+        ps4_bicubic_down_rational,
+    )
+
+    for num, den, (h, w) in [(3, 2, (9, 12)), (5, 2, (10, 15)), (7, 4, (14, 21))]:
+        y = jax.random.normal(jax.random.PRNGKey(num * 10 + den), (1, h, w, 48))
+        oh, ow = 4 * h * den // num, 4 * w * den // num
+        ref = resize(pixel_shuffle(y, 4), (oh, ow), "bicubic")
+        got = ps4_bicubic_down_rational(y, num, den)
+        m = max(2, oh // 8)
+        np.testing.assert_allclose(
+            np.asarray(got[:, m:-m, m:-m]),
+            np.asarray(ref[:, m:-m, m:-m]),
+            atol=1e-5, err_msg=f"{num}/{den}",
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3))
+        refn = resize(resize(x, (4 * h, 4 * w), "nearest"), (oh, ow), "bicubic")
+        gotn = nearest4_bicubic_down_rational(x, num, den)
+        np.testing.assert_allclose(
+            np.asarray(gotn[:, m:-m, m:-m]),
+            np.asarray(refn[:, m:-m, m:-m]),
+            atol=1e-5, err_msg=f"nearest {num}/{den}",
+        )
+
+
+def test_srvgg_apply_down_rational():
+    params = srvgg.init_params(jax.random.PRNGKey(9), TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(10), (1, 9, 12, 3))
+    fused = srvgg.apply_down_rational(params, x, 3, 2, cfg=TINY)  # 4x then /1.5
+    two_step = resize(srvgg.apply(params, x, cfg=TINY), (24, 32), "bicubic")
+    assert fused.shape == (1, 24, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(fused[:, 3:-3, 3:-3]),
+        np.asarray(two_step[:, 3:-3, 3:-3]),
+        atol=2e-5,
+    )
