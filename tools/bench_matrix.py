@@ -54,15 +54,18 @@ def main(argv=None) -> None:
         spec = UpscaleSpec(
             lr_shape=lr, output_shape=hr, compute_dtype=jnp.bfloat16
         )
+        from fractions import Fraction
+        from math import gcd
+
         fused = None
-        for d in (2, 3, 4):
-            if (hr[0] * d, hr[1] * d) == (4 * lr[0], 4 * lr[1]) and (
-                d != 3 or (lr[0] % 3 == 0 and lr[1] % 3 == 0)
-            ):
-                fused = d
-                break
+        if 4 * lr[0] * hr[1] == 4 * lr[1] * hr[0] and 4 * lr[0] >= hr[0]:
+            f = Fraction(4 * lr[0], hr[0])
+            period = 4 * f.denominator // gcd(f.numerator, 4 * f.denominator)
+            if hr[0] % period == 0 and hr[1] % period == 0:
+                fused = f"{f.numerator}/{f.denominator}"
+                num, den = f.numerator, f.denominator
         apply_fn = (
-            (lambda p, x, d=fused: srvgg.apply_down(p, x, d, cfg=cfg))
+            (lambda p, x, n=num, d=den: srvgg.apply_down_rational(p, x, n, d, cfg=cfg))
             if fused
             else (lambda p, x: srvgg.apply(p, x, cfg=cfg))
         )
