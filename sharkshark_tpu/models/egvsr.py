@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops import (
     backward_warp,
+    backward_warp_fast,
     conv2d,
     leaky_relu,
     pad2d,
@@ -121,8 +122,13 @@ def frnet_step(
     hr_prev: jnp.ndarray,
     *,
     cfg: EGVSRConfig = DEFAULT,
+    fast_warp: bool = False,
 ) -> jnp.ndarray:
-    """One recurrence step (reference FRNet.forward, egvsr.py:180-212)."""
+    """One recurrence step (reference FRNet.forward, egvsr.py:180-212).
+
+    fast_warp routes the HR warp through the gather-free banded Pallas
+    kernel (exact-fallback semantics; inference only — the gather path
+    stays the differentiable/training formulation)."""
     s = cfg.scale
     h, w = lr_curr.shape[-3], lr_curr.shape[-2]
     flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
@@ -130,7 +136,8 @@ def frnet_step(
     if pad_h or pad_w:
         flow = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
     hr_flow = jnp.asarray(float(s), flow.dtype) * resize(flow, (h * s, w * s), "bilinear")
-    hr_warp = backward_warp(hr_prev, hr_flow)
+    warp = backward_warp_fast if fast_warp else backward_warp
+    hr_warp = warp(hr_prev, hr_flow)
     return srnet_apply(params["srnet"], lr_curr, space_to_depth(hr_warp, s))
 
 
@@ -143,11 +150,13 @@ def init_recurrent_state(n: int, h: int, w: int, cfg: EGVSRConfig = DEFAULT, dty
     )
 
 
-def infer_step(params, state, lr_curr, *, cfg: EGVSRConfig = DEFAULT):
+def infer_step(params, state, lr_curr, *, cfg: EGVSRConfig = DEFAULT, fast_warp: bool = True):
     """Streaming step carrying (lr_prev, hr_prev) — the service-side analogue
-    of reference egvsr_upscaler.py:197-207."""
+    of reference egvsr_upscaler.py:197-207.  Uses the banded warp kernel
+    on TPU by default (falls back to the exact gather warp off-TPU, for
+    kernel-unfriendly shapes, and for rough flow fields)."""
     lr_prev, hr_prev = state
-    hr = frnet_step(params, lr_curr, lr_prev, hr_prev, cfg=cfg)
+    hr = frnet_step(params, lr_curr, lr_prev, hr_prev, cfg=cfg, fast_warp=fast_warp)
     return hr, (lr_curr, hr)
 
 

@@ -20,7 +20,7 @@ from .color import (
     to_float,
     to_uint8,
 )
-from .warp import backward_warp, backward_warp_ac0, grid_sample_bilinear
+from .warp import backward_warp, backward_warp_ac0, backward_warp_fast, grid_sample_bilinear
 
 __all__ = [
     "conv2d", "conv_transpose2d", "depthwise_conv2d", "prelu", "leaky_relu",
@@ -28,5 +28,5 @@ __all__ = [
     "resize", "resize_nchw",
     "gaussian_kernel_2d", "sharpen_kernel_2d", "blur", "sharpen",
     "global_color_match", "local_color_match", "to_float", "to_uint8",
-    "backward_warp", "backward_warp_ac0", "grid_sample_bilinear",
+    "backward_warp", "backward_warp_ac0", "backward_warp_fast", "grid_sample_bilinear",
 ]

@@ -1,0 +1,236 @@
+"""Pallas TPU kernel: banded hat-matmul backward warp (gather-free).
+
+Why this exists: EGVSR's recurrence warps the previous HR frame with a
+dense optical-flow field (reference src/upscale/model/egvsr/utils/
+net_utils.py:50-93, grid_sample bilinear/border/align_corners=True).
+A bilinear warp is 4 data-dependent loads per pixel — a gather — and
+gathers are the one op class TPUs execute essentially scalar: the XLA
+gather formulation costs ~870 ms at 2160x3840 (ops/warp.py), ~70x off
+the reference's GPU latency for the whole model.
+
+TPU reformulation — no gathers anywhere:
+
+* The bilinear kernel factorizes per output pixel into an outer product
+  of two 2-tap "hat" functions: out[y,x] = sum_r hat(r - sy) *
+  (sum_c hat(c - sx) * img[r, c]) with (sy, sx) the sample coordinate.
+  The inner (horizontal) contraction over a *band* of columns is a real
+  matmul: for each output row, a (window_cols x TX) hat matrix built
+  from iota comparisons selects-and-lerps the two source columns of
+  every output pixel.  Stacking the C channels along M and the TY tile
+  rows along N makes one large MXU matmul per tile; the outer vertical
+  2-tap reduce is a per-row weighted sum on the VPU.
+* Flow fields in VSR are smooth (FNet's flow is bilinearly upsampled
+  from a /8 grid and tanh-bounded to +-24 LR px == +-96 HR px), so per
+  output tile the 4 taps of all pixels live in a small window whose
+  *position* varies but whose *extent* is tiny.  Each tile's integer
+  window base (min displacement, per axis) is computed on-device and
+  shipped to the kernel through SMEM; the double-buffered DMA fetches
+  the window at a dynamic (tile-grain-aligned) offset.  The static band
+  then only needs to cover the *in-tile flow range*, not the worst-case
+  displacement.
+* Two window variants are compiled: FAST (64 x 384) for smooth flow,
+  and FULL (224 x 512), which by construction covers *any* flow within
+  the +-MAX_DISP bound — scene cuts and garbage flows stay an order of
+  magnitude faster than the gather path instead of falling back to it.
+  `banded_warp_bases` classifies the frame on-device; ops/warp.py
+  backward_warp_fast switches variants with lax.switch, keeping the
+  gather path only for out-of-bound flows (impossible for EGVSR's
+  tanh-bounded FNet) and as the differentiable training formulation.
+* Border handling ('border' padding = clamp) is folded into an
+  edge-replicated pad of the source image, which makes the un-clamped
+  hat weights exactly reproduce the clamped bilinear sample, so the
+  kernel has no boundary branches at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "banded_warp_supported",
+    "banded_warp_bases",
+    "banded_backward_warp",
+    "WINDOW_FAST",
+    "WINDOW_FULL",
+]
+
+# output tile per grid step
+TY, TX = 8, 128
+# source window (rows x cols) variants: FAST for smooth flow, FULL sized
+# so that any flow within +-MAX_DISP fits regardless of roughness
+WINDOW_FAST = (64, 384)
+WINDOW_FULL = (224, 512)
+# HBM DMA offsets must be tile-aligned (8 sublanes x 128 lanes), so the
+# per-tile window bases are rounded down to those grains; the window
+# sizes above absorb the rounding (up to +7 rows / +127 cols).
+ROW_GRAIN, COL_GRAIN = 8, 128
+# displacement magnitude the padding is sized for; tiles that move
+# farther than this are reported infeasible (gather fallback)
+MAX_DISP = 96
+PAD_TOP = 104   # >= MAX_DISP + ROW_GRAIN slack, sublane-aligned
+PAD_LEFT = 128  # >= MAX_DISP + COL_GRAIN slack, lane-aligned
+# padding below/right sized for the largest window variant
+PAD_BOT = WINDOW_FULL[0] + MAX_DISP + ROW_GRAIN - TY
+PAD_RIGHT = WINDOW_FULL[1] + COL_GRAIN - TX
+
+
+def banded_warp_supported(x_shape: tuple[int, ...]) -> bool:
+    """Kernel geometry constraint: one frame, tile-divisible extents."""
+    n, h, w, _ = x_shape
+    return n == 1 and h % TY == 0 and w % TX == 0 and h >= TY and w >= TX
+
+
+def banded_warp_bases(
+    flow: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-tile integer window bases from the flow field (on device).
+
+    flow: (1, H, W, 2) with [..., 0] = dx, [..., 1] = dy in pixels.
+    Returns (bx, by, ok_fast, ok_full): int32 (H//TY, W//TX) window bases
+    relative to each tile's origin (shared by both variants — the grain
+    is the same), and two scalar bools: whether every tile's taps fit
+    the FAST window, and the FULL window (ok_full is False only when the
+    flow exceeds the +-MAX_DISP padding bound)."""
+    _, h, w, _ = flow.shape
+    ni, nj = h // TY, w // TX
+    fx = flow[0, :, :, 0].astype(jnp.float32).reshape(ni, TY, nj, TX)
+    fy = flow[0, :, :, 1].astype(jnp.float32).reshape(ni, TY, nj, TX)
+
+    # sample position relative to the tile origin, per axis
+    zx = fx + jnp.arange(TX, dtype=jnp.float32)[None, None, None, :]
+    zy = fy + jnp.arange(TY, dtype=jnp.float32)[None, :, None, None]
+
+    def bases_1d(z, extent, wins, grain):
+        lo = jnp.floor(z.min(axis=(1, 3)))
+        hi = jnp.floor(z.max(axis=(1, 3))) + 1.0  # +1: second bilinear tap
+        base = jnp.floor(lo / grain) * grain  # DMA-grain aligned
+        in_bound = (lo >= -(MAX_DISP + 1)) & (hi <= extent - 1 + MAX_DISP + 1)
+        oks = [jnp.all((hi - base + 1.0 <= win) & in_bound) for win in wins]
+        return base.astype(jnp.int32), oks
+
+    wins_c = (WINDOW_FAST[1], WINDOW_FULL[1])
+    wins_r = (WINDOW_FAST[0], WINDOW_FULL[0])
+    bx, okx = bases_1d(zx, TX, wins_c, COL_GRAIN)
+    by, oky = bases_1d(zy, TY, wins_r, ROW_GRAIN)
+    return bx, by, okx[0] & oky[0], okx[1] & oky[1]
+
+
+def _kernel(
+    bx_ref, by_ref, x_hbm, fx_ref, fy_ref, out_ref, buf, sems, *, ni, nj, c, rw, cw
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = i * nj + j
+    total = ni * nj
+
+    def dma_for(step, slot):
+        ii = step // nj
+        jj = step % nj
+        rs = pl.multiple_of(ii * TY + PAD_TOP + by_ref[ii, jj], ROW_GRAIN)
+        cs = pl.multiple_of(jj * TX + PAD_LEFT + bx_ref[ii, jj], COL_GRAIN)
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(rs, rw), pl.ds(cs, cw)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma_for(t, 0).start()
+
+    @pl.when(t + 1 < total)
+    def _():
+        dma_for(t + 1, (t + 1) % 2).start()
+
+    dma_for(t, t % 2).wait()
+    slot = t % 2
+
+    dtype = buf.dtype
+    a = buf[slot].reshape(c * rw, cw)
+
+    # horizontal hat matrix: column k of the window contributes
+    # hat(k - sample_x) to output pixel (row-stacked along N)
+    bxc = bx_ref[i, j].astype(jnp.float32)
+    xrel = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 1).astype(jnp.float32)
+    txf = (xrel + fx_ref[:, :] - bxc).reshape(1, TY * TX)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (cw, TY * TX), 0).astype(jnp.float32)
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(kx - txf)).astype(dtype)
+
+    # float32 mode must not silently run the MXU in bf16 (the TPU default)
+    prec = None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    m = jnp.dot(a, hx, preferred_element_type=jnp.float32, precision=prec)
+
+    # vertical 2-tap hat reduce on the VPU
+    byc = by_ref[i, j].astype(jnp.float32)
+    yrel = (
+        jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 0).astype(jnp.float32)
+        + fy_ref[:, :]
+        - byc
+    )
+    ky = jax.lax.broadcasted_iota(jnp.int32, (rw, TX), 0).astype(jnp.float32)
+    for ci in range(c):
+        rows = m[ci * rw : (ci + 1) * rw, :]
+        for jj in range(TY):
+            mv = rows[:, jj * TX : (jj + 1) * TX]
+            wv = jnp.maximum(0.0, 1.0 - jnp.abs(ky - yrel[jj, :][None, :]))
+            out_ref[ci, jj, :] = jnp.sum(wv * mv, axis=0)
+
+
+@partial(jax.jit, static_argnames=("window", "compute_dtype", "interpret"))
+def banded_backward_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    bx: jnp.ndarray,
+    by: jnp.ndarray,
+    *,
+    window: tuple[int, int] = WINDOW_FAST,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Warp x (1, H, W, C) backward along flow (1, H, W, 2), equivalent to
+    ops.warp.backward_warp, given per-tile window bases (bx, by) from
+    banded_warp_bases.  Only valid when banded_warp_bases reported ok for
+    this window variant; callers guard with lax.switch/cond.
+    compute_dtype=float32 matches the gather path to ~1e-6; bfloat16 is
+    the fast inference mode."""
+    n, h, w, c = x.shape
+    assert banded_warp_supported(x.shape), x.shape
+    rw, cw = window
+    ni, nj = h // TY, w // TX
+
+    # edge-replicated pad == 'border' (clamp) sampling semantics
+    pad_r = PAD_RIGHT + (-(w + PAD_LEFT + PAD_RIGHT) % COL_GRAIN)
+    xp = jnp.pad(
+        x[0].transpose(2, 0, 1),
+        ((0, 0), (PAD_TOP, PAD_BOT), (PAD_LEFT, pad_r)),
+        mode="edge",
+    ).astype(compute_dtype)
+
+    fx = flow[0, :, :, 0].astype(jnp.float32)
+    fy = flow[0, :, :, 1].astype(jnp.float32)
+
+    out = pl.pallas_call(
+        partial(_kernel, ni=ni, nj=nj, c=c, rw=rw, cw=cw),
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, TY, TX), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, rw, cw), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(bx, by, xp, fx, fy)
+
+    return out.transpose(1, 2, 0)[None].astype(x.dtype)

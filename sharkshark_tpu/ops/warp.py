@@ -8,20 +8,28 @@ computed bilinear weights.
 
 PERFORMANCE NOTE (measured, v5e): dense gathers are the one op class TPUs
 are genuinely bad at. The 4x-resolution warp in EGVSR's recurrence costs
-~870 ms at 2160x3840 (vs ~milliseconds for the convs around it), making
-EGVSR ~70x off its GPU-TensorRT latency. The production SRVGG path uses
-no warps and is unaffected. A block-integer-shift + hat-weighted residual decomposition was
-prototyped and measured EXACT for locally-uniform flow but corrupts
-~20% of pixels for spatially varying flow (round(flow) stitching
-discontinuities), so it was removed; a correct fast path needs a Pallas
-kernel with per-tile DMA over the tanh-bounded (+-24 LR px) flow range.
+~870 ms at 2160x3840 (vs ~milliseconds for the convs around it) in the
+XLA-gather formulation below, making EGVSR ~70x off its GPU-TensorRT
+latency.  `backward_warp_fast` routes large single frames through the
+gather-free banded hat-matmul Pallas kernel (ops/pallas/warp_band.py),
+with a per-frame lax.cond fallback to the exact gather path whenever a
+tile's flow range exceeds the kernel's static band — so speed depends on
+flow smoothness (guaranteed in EGVSR: flow is bilinearly upsampled from
+a /8 grid and tanh-bounded), correctness never does.  The gather path
+remains the reference semantics and the differentiable training path.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["backward_warp", "backward_warp_ac0", "grid_sample_bilinear"]
+__all__ = [
+    "backward_warp",
+    "backward_warp_fast",
+    "backward_warp_ac0",
+    "grid_sample_bilinear",
+]
 
 
 def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -90,6 +98,46 @@ def backward_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     gy = iv + flow[..., 1].astype(jnp.float32) / ((h - 1.0) / 2.0)
     grid = jnp.stack([gx, gy], axis=-1)
     return grid_sample_bilinear(x, grid)
+
+
+def backward_warp_fast(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """backward_warp with the banded Pallas kernel on the hot path.
+
+    Exact-fallback contract: frames whose flow is too rough for the
+    kernel's static band (or shapes the kernel does not tile) take the
+    gather path, so the result always equals backward_warp up to
+    compute_dtype rounding inside the kernel."""
+    from .pallas.warp_band import (
+        WINDOW_FAST,
+        WINDOW_FULL,
+        banded_backward_warp,
+        banded_warp_bases,
+        banded_warp_supported,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not banded_warp_supported(x.shape) or not (on_tpu or interpret):
+        return backward_warp(x, flow)
+
+    bx, by, ok_fast, ok_full = banded_warp_bases(flow)
+
+    def banded(window):
+        return lambda: banded_backward_warp(
+            x, flow, bx, by, window=window,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    idx = jnp.where(ok_fast, 0, jnp.where(ok_full, 1, 2))
+    return jax.lax.switch(
+        idx,
+        [banded(WINDOW_FAST), banded(WINDOW_FULL), lambda: backward_warp(x, flow)],
+    )
 
 
 def backward_warp_ac0(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:

@@ -36,7 +36,13 @@ def _overlay_status(frame: np.ndarray, processed: int, skipped: int) -> np.ndarr
 
     pct = skipped / (processed + 1e-8) * 100
     if not frame.flags.writeable or not frame.flags.c_contiguous:
-        frame = np.array(frame)  # cv2 needs a writable contiguous buffer
+        # cv2 needs a writable C-contiguous buffer.  Plain np.array
+        # (order='K') is NOT enough: device-backed results can surface
+        # as planar-strided views (axon returns NHWC arrays with
+        # channel-major strides) and 'K' preserves that order; plain
+        # ascontiguousarray is NOT enough either: it returns read-only
+        # inputs unchanged when they are already contiguous.
+        frame = np.array(frame, order="C")
     return cv2.putText(
         frame,
         f"[SHARKSHARK-TPU] Processed: {processed} frames {skipped} skipped ({pct:.1f}%)",
@@ -131,6 +137,9 @@ class Streamer(BaseService):
         frames = np.asarray(job.frames)
         if frames.dtype != np.uint8:
             frames = np.clip(frames, 0, 255).astype(np.uint8)
+        # one batched copy if the device returned a strided (planar) view:
+        # every downstream consumer (cv2, tobytes) wants C-order
+        frames = np.ascontiguousarray(frames)
         frames = self._fix_resolution(frames)
         job.profiler.end("streamer.frames.queue")
 

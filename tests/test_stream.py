@@ -270,3 +270,23 @@ def test_recoder_reconnects_on_eof():
     # 1 initial source + 2 reconnects = 3 batches of 12 frames
     assert len(built) == 2 and rec.reconnects == 2
     assert len(got) == 3
+
+
+def test_overlay_handles_planar_strided_and_readonly_frames():
+    """Device-backed uint8 results can surface as channel-planar strided
+    views (axon) or read-only buffers; the status overlay must normalize
+    both for cv2 (regression: cv2 5.0 putText rejects non-C-contiguous)."""
+    import numpy as np
+
+    from sharkshark_tpu.stream.streamer import _overlay_status
+
+    # planar (C, H, W) memory exposed as an (H, W, C) view
+    planar = np.zeros((3, 48, 64), np.uint8).transpose(1, 2, 0)
+    assert not planar.flags.c_contiguous
+    out = _overlay_status(planar, processed=10, skipped=1)
+    assert out.shape == (48, 64, 3) and out.max() > 0
+
+    ro = np.zeros((48, 64, 3), np.uint8)
+    ro.setflags(write=False)
+    out = _overlay_status(ro, processed=10, skipped=1)
+    assert out.max() > 0
