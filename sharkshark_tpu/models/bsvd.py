@@ -310,6 +310,158 @@ def stream_step(
     return y, {"t": t + 1, "temp1": st1, "temp2": st2}
 
 
+# ------------------------------------------------------------ chunked path
+#
+# BSVD's BiBufferConv is a *bidirectional* temporal-shift conv: the
+# output aligned to frame g reads [x_{g+1}[:fold] | x_{g-1}[fold:2fold]
+# | x_g[2fold:]] of its own layer's input features — one frame of
+# lookahead per conv, which is where the SHIFT_NUM(16)-frame stream
+# latency comes from (it is inherent lookahead, not a pipelining
+# artifact).  The reference evaluates this one frame per wall step, one
+# frame in flight per conv (model.py:526-580), because TRT engines are
+# single-frame.  On TPU the natural evaluation is LAYER-MAJOR over a
+# chunk of T consecutive frames: every conv runs ONCE per chunk,
+# batched (T*N) on the MXU; the temporal taps become slices along the
+# chunk axis seeded by the same 2-frame carry the streaming path keeps;
+# the MemSkip rings become FIFO carries consumed with plain concat+
+# slice; warm-up/flush become a per-conv window mask on the chunk axis
+# (global frame index in [0, t_end)), reproducing stream_step's gating.
+# Outputs are identical to the per-frame pipeline — chaining chunk_step
+# over any split of a clip equals denoise_clip on the whole clip — but
+# state traffic is paid once per chunk instead of once per frame and
+# every conv sees a T-fold larger batch.
+
+
+def _window_mask(x: jnp.ndarray, first_idx, t_end) -> jnp.ndarray:
+    """Zero chunk positions whose global frame index falls outside
+    [0, t_end): below 0 = warm-up garbage must not reach taps/carries
+    (stream_step gates state updates for the same reason); >= t_end =
+    the reference's flush protocol feeds zeros at EVERY level."""
+    t = x.shape[0]
+    idx = first_idx + jnp.arange(t, dtype=jnp.int32)
+    ok = idx >= 0
+    if t_end is not None:
+        ok = ok & (idx < t_end)
+    return jnp.where(ok[(...,) + (None,) * (x.ndim - 1)], x, jnp.zeros_like(x))
+
+
+def _shift_conv_chunk(p: dict, st: dict, x: jnp.ndarray, act: str):
+    """Bidirectional temporal-shift conv over a chunk.
+
+    x: (T, N, H, W, C) = this conv's inputs for frames [a, a+T);
+    st = {'left': (N,H,W,fold) == x_{a-2}[fold:2fold],
+          'center': (N,H,W,C) == x_{a-1}} — the same carry layout as the
+    streaming path.  Output j is aligned to frame a-1+j (one-frame
+    lookahead): fut tap = x[j], center tap = x[j-1], left = x[j-2]."""
+    t = x.shape[0]
+    fold = x.shape[-1] // 8
+    fut = x[..., :fold]
+    hist = jnp.stack([st["left"], st["center"][..., fold : 2 * fold]])
+    left = jnp.concatenate([hist, x[: max(t - 2, 0), ..., fold : 2 * fold]], axis=0)[:t]
+    rest = jnp.concatenate(
+        [st["center"][None, ..., 2 * fold :], x[: t - 1, ..., 2 * fold :]], axis=0
+    )
+    inp = jnp.concatenate([fut, left, rest], axis=-1)
+    tn, n, h, w, c = inp.shape
+    y = conv2d(inp.reshape(tn * n, h, w, c), **p, padding=1)
+    y = _act(y, act).reshape(tn, n, h, w, -1)
+    new_center = x[-1]
+    new_left = x[-2, ..., fold : 2 * fold] if t >= 2 else st["center"][..., fold : 2 * fold]
+    return y, {"left": new_left, "center": new_center}
+
+
+def _mem_chunk(p, st, x, act, first_idx, t_end):
+    x = _window_mask(x, first_idx, t_end)
+    y, s1 = _shift_conv_chunk(p["c1"], st["c1"], x, act)
+    y = _window_mask(y, first_idx - 1, t_end)
+    y, s2 = _shift_conv_chunk(p["c2"], st["c2"], y, act)
+    return y, {"c1": s1, "c2": s2}
+
+
+def _conv_batched(p, x, act=None, stride=1):
+    t, n, h, w, c = x.shape
+    y = conv2d(x.reshape(t * n, h, w, c), **p, stride=stride, padding=1)
+    if act is not None:
+        y = _act(y, act)
+    return y.reshape(t, n, *y.shape[1:])
+
+
+def _ps_batched(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    t, n, h, w, c = x.shape
+    y = pixel_shuffle(x.reshape(t * n, h, w, c), r)
+    return y.reshape(t, n, *y.shape[1:])
+
+
+def _fifo(carry: jnp.ndarray, chunk: jnp.ndarray):
+    """Skip FIFO: carry holds the D frames before the chunk.  Returns the
+    chunk-length window aligned D frames back, and the new carry."""
+    d = carry.shape[0]
+    t = chunk.shape[0]
+    full = jnp.concatenate([carry, chunk], axis=0)
+    return full[:t], full[t : t + d]
+
+
+def _denblock_chunk(p, st, x, act, base, t_end):
+    """One DenBlock over a chunk.  x: (T, N, H, W, in_ch) for frames
+    [base, base+T); returns output frames [base-8, base+T-8)."""
+    skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
+    x0 = _conv_batched(p["inc1"], _conv_batched(p["inc0"], x, act), act)
+    skip2, st_s2 = _fifo(st["skip2"], x0)
+    x1 = _conv_batched(p["down0"], x0, act, stride=2)
+    x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end)
+    skip3, st_s3 = _fifo(st["skip3"], x1)  # x1 frames [base-2, ...)
+    x2 = _conv_batched(p["down1"], x1, act, stride=2)
+    x2, st_d1 = _mem_chunk(p["down1_mem"], st["down1"], x2, act, base - 2, t_end)
+    u2, st_u2 = _mem_chunk(p["up2_mem"], st["up2"], x2, act, base - 4, t_end)
+    u2 = _ps_batched(_conv_batched(p["up2"], u2), 2)
+    u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end)
+    u1 = _ps_batched(_conv_batched(p["up1"], u1), 2)
+    y = _conv_batched(p["outc1"], _conv_batched(p["outc0"], u1 + skip2, act))
+    y = y.at[..., :3].set(skip1 - y[..., :3])
+    new_st = {
+        "skip1": st_s1, "skip2": st_s2, "skip3": st_s3,
+        "down0": st_d0, "down1": st_d1, "up2": st_u2, "up1": st_u1,
+    }
+    return y, new_st
+
+
+def init_chunk_state(
+    n: int, h: int, w: int, cfg: BSVDConfig = BSVD_32, dtype=jnp.float32
+) -> dict:
+    """Fresh carry for the chunked path.  Same pytree layout (and zero
+    init) as the streaming state, but the skip buffers evolve as FIFOs
+    rather than rotating rings — a state must not be moved between
+    stream_step and chunk_step mid-stream."""
+    return init_stream_state(n, h, w, cfg, dtype)
+
+
+def chunk_step(
+    params: dict,
+    state: dict,
+    frames: jnp.ndarray,
+    *,
+    cfg: BSVDConfig = BSVD_32,
+    t_end: int | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """Denoise a chunk of T consecutive frames in one layer-major pass.
+
+    frames: (T, N, H, W, in_ch) -> ((T, N, H, W, out_ch), new_state).
+    Output j of the chunk is the denoised result for input frame
+    state['t'] + j - SHIFT_NUM (the network has 16 frames of inherent
+    lookahead; the first SHIFT_NUM outputs of a fresh stream are
+    pre-valid garbage, exactly as in stream_step).  For a T_clip-frame
+    clip, feed the frames in chunks followed by SHIFT_NUM zero frames
+    with t_end=T_clip and keep outputs [SHIFT_NUM:) — this equals
+    denoise_clip for any chunk split.  For endless live streams leave
+    t_end=None."""
+    n0 = state["t"]
+    mid, st1 = _denblock_chunk(params["temp1"], state["temp1"], frames, cfg.act, n0, t_end)
+    y, st2 = _denblock_chunk(
+        params["temp2"], state["temp2"], mid, cfg.act, n0 - 8, t_end
+    )
+    return y, {"t": n0 + frames.shape[0], "temp1": st1, "temp2": st2}
+
+
 def denoise_clip(params: dict, frames: jnp.ndarray, *, cfg: BSVDConfig = BSVD_32) -> jnp.ndarray:
     """Denoise a whole clip under one lax.scan, bit-matching the reference's
     streaming_forward over the same sequence (model.py:526-580).

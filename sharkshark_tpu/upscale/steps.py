@@ -202,13 +202,17 @@ def upscale_batch_denoise(
     spec: UpscaleSpec,
     cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
 ) -> tuple[jnp.ndarray, dict]:
-    """Micro-batched denoise path: BSVD is inherently sequential (stream
-    state), so it scans over the T frames of the micro-batch — but the SR
-    stage and the color matching then run as ONE batched call, recovering
-    the batch-4 MXU efficiency the reference's per-frame loop gives up
-    (fsrcnn_upscaler.py:156-160 loops upscale_single per frame).
+    """Micro-batched denoise path: the whole micro-batch runs through
+    BSVD in ONE layer-major chunk_step (every conv batched (T*N) on the
+    MXU, state traffic paid once per chunk — models/bsvd.py chunked
+    path), and the SR stage and color matching run as one batched call,
+    recovering the MXU efficiency the reference's per-frame loop gives
+    up (fsrcnn_upscaler.py:156-160 loops upscale_single per frame).
 
     frames: (T, H, W, 3) uint8 -> ((T, OH, OW, 3) uint8, new_state).
+    The state pytree is the same as the single path's, but chunked and
+    per-frame streaming evolve their skip buffers differently — a
+    service must not switch paths on one live state.
     """
     img = to_float(frames)
     lr = resize(img, spec.lr_shape, "area")
@@ -218,16 +222,15 @@ def upscale_batch_denoise(
 
     lr_p = _bsvd_pad(lr, spec)
 
-    def body(st, x):
-        noise_val = jnp.where(st["t"] == 0, 0.05, 0.1 * spec.denoise_rate)
-        noise = jnp.full(
-            (1,) + x.shape[:2] + (1,), 1.0, state_dtype
-        ) * noise_val.astype(state_dtype)
-        x4 = jnp.concatenate([x[None].astype(state_dtype), noise], axis=-1)
-        y, st = bsvd.stream_step(params["denoise"], st, x4, cfg=cfg)
-        return st, y[0]
-
-    new_state, den = jax.lax.scan(body, state, lr_p)
+    idx = state["t"] + jnp.arange(t, dtype=jnp.int32)
+    noise_vals = jnp.where(idx == 0, 0.05, 0.1 * spec.denoise_rate)
+    noise = jnp.broadcast_to(
+        noise_vals[:, None, None, None, None].astype(state_dtype),
+        (t, 1) + lr_p.shape[1:3] + (1,),
+    )
+    x4 = jnp.concatenate([lr_p[:, None].astype(state_dtype), noise], axis=-1)
+    den, new_state = bsvd.chunk_step(params["denoise"], state, x4, cfg=cfg)
+    den = den[:, 0]
     den = _bsvd_crop(den, spec)
     den = jnp.clip(sharpen(den.astype(jnp.float32), 0.00002), 0.0, 1.0)
     lr = den * spec.denoise_opacity + (1.0 - spec.denoise_opacity) * lr

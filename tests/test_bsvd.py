@@ -166,3 +166,55 @@ def test_stream_step_latency_and_state_reuse():
         outs.append(np.asarray(y))
     got = np.stack(outs[bsvd.SHIFT_NUM:])
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("split", [(24,), (12, 12), (4,) * 6, (1, 3, 4, 8, 2, 6)])
+def test_chunk_step_matches_clip(split):
+    """Layer-major chunked evaluation chained over arbitrary chunk splits
+    (with the SHIFT_NUM zero-frame flush) must equal the per-frame
+    pipelined clip evaluation frame-for-frame."""
+    T = 8
+    params = bsvd.init_params(jnp.asarray(np.array([7, 9], np.uint32)), CFG)
+    frames = jnp.asarray(RNG.normal(size=(T, 1, 16, 24, 4)).astype(np.float32))
+    ref = np.asarray(bsvd.denoise_clip(params, frames, cfg=CFG))
+
+    padded = jnp.concatenate(
+        [frames, jnp.zeros((bsvd.SHIFT_NUM,) + frames.shape[1:], frames.dtype)]
+    )
+    state = bsvd.init_chunk_state(1, 16, 24, CFG, jnp.float32)
+    outs = []
+    i = 0
+    for n in split:
+        y, state = bsvd.chunk_step(params, state, padded[i : i + n], cfg=CFG, t_end=T)
+        outs.append(np.asarray(y))
+        i += n
+    got = np.concatenate(outs, axis=0)[bsvd.SHIFT_NUM :]
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_chunk_step_live_stream_matches_stream_step():
+    """Endless-stream mode (t_end=None): chunked outputs equal per-frame
+    stream_step outputs at every wall step."""
+    T = 24
+    params = bsvd.init_params(jnp.asarray(np.array([1, 2], np.uint32)), CFG)
+    frames = jnp.asarray(RNG.normal(size=(T, 1, 16, 24, 4)).astype(np.float32))
+
+    st = bsvd.init_stream_state(1, 16, 24, CFG, jnp.float32)
+    ref = []
+    for f in frames:
+        y, st = bsvd.stream_step(params, st, f, cfg=CFG)
+        ref.append(np.asarray(y))
+    ref = np.stack(ref)
+
+    state = bsvd.init_chunk_state(1, 16, 24, CFG, jnp.float32)
+    outs = []
+    for i in range(0, T, 4):
+        y, state = bsvd.chunk_step(params, state, frames[i : i + 4], cfg=CFG)
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=0)
+    # the first SHIFT_NUM wall steps are pre-valid garbage in both
+    # formulations (and differ: stream_step computes through garbage
+    # while chunk_step zeroes the taps); only valid outputs must agree
+    np.testing.assert_allclose(
+        got[bsvd.SHIFT_NUM :], ref[bsvd.SHIFT_NUM :], atol=2e-5, rtol=1e-4
+    )
