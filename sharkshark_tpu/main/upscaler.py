@@ -33,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-frame-skips", action="store_true",
                    help="block instead of dropping frames (offline mode)")
     p.add_argument("--model", default="realesrgan",
-                   choices=["realesrgan", "fsrcnn", "egvsr"])
+                   help="'realesrgan' (production SRVGG), 'fsrcnn', "
+                        "'egvsr', or any model-zoo entry name "
+                        "(e.g. RealESRGAN_x4plus, realesr-animevideov3)")
     p.add_argument("--weights", default=None, help="SR model .pth path")
     p.add_argument("--weights-wdn", default=None,
                    help="denoise-variant .pth for DNI blending")
@@ -45,7 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from ..models.zoo import ZOO
     from ..pipeline import UpscalePipeline
+
+    known = {"realesrgan", "fsrcnn", "egvsr"} | set(ZOO)
+    if args.model not in known:
+        build_parser().error(
+            f"--model {args.model!r} unknown; choose from {sorted(known)}"
+        )
 
     kwargs = {}
     if args.model == "egvsr":

@@ -163,6 +163,10 @@ class BaseService:
                 if job is _EXIT:
                     break
                 if isinstance(job, EOF):
+                    # drain any in-flight state (e.g. the BSVD denoiser's
+                    # SHIFT_NUM lookahead frames) before the sentinel
+                    for entry in self.proc_eof():
+                        self._deliver(entry)
                     self._deliver(job)
                     self._eof_seen.set()
                     break
@@ -191,6 +195,11 @@ class BaseService:
 
     def proc_job_recieved(self, job: Any) -> Any:
         return job
+
+    def proc_eof(self):
+        """Entries to deliver when the EOF sentinel arrives, before it is
+        forwarded — override to drain in-flight state (default: none)."""
+        return ()
 
     def proc_cleanup(self) -> None:
         pass

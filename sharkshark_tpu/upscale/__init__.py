@@ -4,6 +4,7 @@ from .steps import (
     upscale_multi,
     upscale_single_denoise,
     upscale_batch_denoise,
+    flush_batch_denoise,
     init_denoise_state,
     egvsr_upscale_step,
 )
@@ -19,6 +20,7 @@ from .service import (
 __all__ = [
     "LR_LEVELS", "HR_LEVELS", "lr_shape_for_level", "hr_shape_for_level",
     "UpscaleSpec", "upscale_multi", "upscale_single_denoise", "upscale_batch_denoise",
+    "flush_batch_denoise",
     "init_denoise_state", "egvsr_upscale_step",
     "tile_upscale", "ShapeCache", "enable_persistent_cache",
     "UpscalerQueueEntry", "BaseUpscalerService",

@@ -37,6 +37,7 @@ from .levels import LR_LEVELS
 from .steps import (
     UpscaleSpec,
     egvsr_upscale_step,
+    flush_batch_denoise,
     init_denoise_state,
     upscale_batch_denoise,
     upscale_multi,
@@ -67,6 +68,7 @@ class BaseUpscalerService(BaseService):
 
     def proc_job_recieved(self, job: UpscalerQueueEntry) -> UpscalerQueueEntry:
         self.profiler = job.profiler
+        self._last_step = job.step
         t = time.time()
         job.profiler.end("recoder.output")
         job.profiler.start("upscaler.upscale")
@@ -224,7 +226,23 @@ class EsrganUpscalerService(BaseUpscalerService):
                 )
 
         else:
-            raise ValueError(self.upscaler_model)
+            # any model zoo entry runs live by name (--model <zoo name>):
+            # RRDBNet / SRVGG archs, DNI blending, weight auto-resolution
+            from ..models.zoo import ZOO, build_sr_model
+
+            if self.upscaler_model not in ZOO:
+                raise ValueError(self.upscaler_model)
+            try:
+                sr_apply, sr_params, self.scale = build_sr_model(
+                    self.upscaler_model,
+                    model_path=self.weights,
+                    denoise_strength=self.denoise_rate,
+                )
+            except FileNotFoundError as ex:
+                log.warning("%s; using random init", ex)
+                sr_apply, sr_params, self.scale = build_sr_model(
+                    self.upscaler_model, random_init=True
+                )
 
         self._sr_apply = sr_apply
         sr_params = self._place(sr_params)
@@ -249,10 +267,63 @@ class EsrganUpscalerService(BaseUpscalerService):
                     sr_apply, p, s, f, spec, self.bsvd_cfg
                 )
             )
+            self._flush_step = ShapeCache(
+                lambda p, s, f, te: flush_batch_denoise(
+                    sr_apply, p, s, f, te, spec, self.bsvd_cfg
+                )
+            )
+            # last SHIFT_NUM raw frames: the flush references them for
+            # the blend / color match of the drained outputs
+            self._tail_frames: list = []
+            self._tail_real: list = []
+            self._frames_seen = 0
+            self._last_step = 0
         self._multi_step = ShapeCache(
             lambda p, f: upscale_multi(sr_apply, p, f, spec)
         )
         log.info("model loaded (%s, denoise=%s)", self.upscaler_model, self.denoising)
+
+    def proc_eof(self):
+        """Drain the BSVD lookahead at end-of-stream: the last SHIFT_NUM
+        frames are still inside the network when the source ends (the
+        reference's production streaming drops them — a real-EOF
+        improvement, ROADMAP 'streaming BSVD flush semantics')."""
+        if not self.denoising or not getattr(self, "_frames_seen", 0):
+            return
+        k = min(self._frames_seen, bsvd.SHIFT_NUM)
+        tail = np.stack(self._tail_frames[-k:])
+        if k < bsvd.SHIFT_NUM:
+            pad = np.zeros((bsvd.SHIFT_NUM - k,) + tail.shape[1:], tail.dtype)
+            tail = np.concatenate([pad, tail], axis=0)
+        # drain in live-micro-batch-sized chunks: one flush executable of
+        # the same activation footprint as the live step (a single
+        # 16-frame flush pass OOMs at 720p)
+        bs = max(1, min(self.batch_size, bsvd.SHIFT_NUM))
+        total = -(-bsvd.SHIFT_NUM // bs) * bs
+        if total > bsvd.SHIFT_NUM:
+            tail = np.concatenate(
+                [tail, np.zeros((total - bsvd.SHIFT_NUM,) + tail.shape[1:], tail.dtype)]
+            )
+        t_end = jnp.asarray(self._frames_seen, jnp.int32)
+        outs = []
+        for i in range(0, total, bs):
+            out, self._den_state = self._flush_step(
+                self._params, self._den_state, jnp.asarray(tail[i : i + bs]), t_end
+            )
+            outs.append(np.asarray(out))
+        drained = np.concatenate(outs)[: bsvd.SHIFT_NUM][bsvd.SHIFT_NUM - k :]
+        mask = np.asarray(self._tail_real[-k:], bool)
+        prof = Profiler()
+        prof.start("recoder.output")
+        prof.start("upscaler.upscale")
+        yield UpscalerQueueEntry(
+            frames=drained[mask],
+            audio_segment=None,
+            step=self._last_step + 1,
+            elapsed=0.0,
+            last_modified=time.time(),
+            profiler=prof,
+        )
 
     def upscale(self, frames) -> np.ndarray:
         """frames: (N, H, W, 3) uint8 -> (N, OH, OW, 3) uint8 numpy."""
@@ -268,6 +339,13 @@ class EsrganUpscalerService(BaseUpscalerService):
             out, self._den_state = self._batch_denoise_step(
                 self._params, self._den_state, jnp.asarray(frames)
             )
+            self._frames_seen += len(frames)
+            # remember the fed frames (pads included — they advance the
+            # BSVD timeline) so proc_eof can drain and post-process the
+            # in-flight tail; pads are flagged and dropped at emission
+            real = [True] * n + [False] * (len(frames) - n)
+            self._tail_frames = (self._tail_frames + list(frames))[-bsvd.SHIFT_NUM:]
+            self._tail_real = (self._tail_real + real)[-bsvd.SHIFT_NUM:]
             return np.asarray(out)[:n]
 
         n = len(frames)

@@ -230,7 +230,14 @@ def upscale_batch_denoise(
     )
     x4 = jnp.concatenate([lr_p[:, None].astype(state_dtype), noise], axis=-1)
     den, new_state = bsvd.chunk_step(params["denoise"], state, x4, cfg=cfg)
-    den = den[:, 0]
+    out = _denoise_postproc(sr_apply, params, den[:, 0], lr, lr_before, spec)
+    return out, new_state
+
+
+def _denoise_postproc(sr_apply, params, den, lr, lr_before, spec: UpscaleSpec):
+    """Shared tail of the denoise paths: sharpen+blend the denoised frames
+    against the pre-denoise LR, SR, HR sharpen, global color match,
+    output resize, uint8 (reference upscale_single :279-326)."""
     den = _bsvd_crop(den, spec)
     den = jnp.clip(sharpen(den.astype(jnp.float32), 0.00002), 0.0, 1.0)
     lr = den * spec.denoise_opacity + (1.0 - spec.denoise_opacity) * lr
@@ -240,7 +247,49 @@ def upscale_batch_denoise(
     hr = global_color_match(hr, lr_before)
     hr = jnp.clip(hr, 0.0, 1.0)
     hr = _resize_to_output(hr, spec)
-    return to_uint8(hr), new_state
+    return to_uint8(hr)
+
+
+def flush_batch_denoise(
+    sr_apply: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    params: dict,
+    state: dict,
+    lr_tail: jnp.ndarray,
+    t_end: jnp.ndarray,
+    spec: UpscaleSpec,
+    cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
+) -> tuple[jnp.ndarray, dict]:
+    """Drain part of the SHIFT_NUM in-flight frames at end-of-stream.
+
+    BSVD has 16 frames of inherent lookahead, so when the source ends the
+    last 16 frames are still inside the network (the reference's
+    production streaming simply drops them).  Each call feeds one chunk
+    of T zero frames with the flush window t_end = total real frames fed
+    (the protocol's None-feeds) and post-processes the drained outputs
+    against their own pre-denoise frames — callers chain SHIFT_NUM/T of
+    these so the flush reuses the live micro-batch executable size
+    instead of compiling (and OOMing on) one 16-frame pass.
+
+    lr_tail: (T, H, W, 3) uint8 — the raw input frames this chunk
+    drains, oldest first (zero-filled at positions that are pre-valid
+    garbage or beyond the clip; the caller discards those outputs).
+    t_end: scalar int32 — real frames fed over the whole stream.
+    Returns ((T, OH, OW, 3) uint8, new_state).
+    """
+    img = to_float(lr_tail)
+    lr = resize(img, spec.lr_shape, "area")
+    lr_before = lr
+    state_dtype = state["temp1"]["skip1"].dtype
+
+    lr_p = _bsvd_pad(lr, spec)
+    zeros = jnp.zeros(
+        (lr_tail.shape[0], 1) + lr_p.shape[1:3] + (4,), state_dtype
+    )
+    den, new_state = bsvd.chunk_step(
+        params["denoise"], state, zeros, cfg=cfg, t_end=t_end
+    )
+    out = _denoise_postproc(sr_apply, params, den[:, 0], lr, lr_before, spec)
+    return out, new_state
 
 
 def egvsr_upscale_step(

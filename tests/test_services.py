@@ -66,3 +66,65 @@ def test_esrgan_service_pads_tail_batch():
     # one executable signature for both (padded tail reuses the batch-4 jit)
     assert svc._multi_step.num_signatures == 1
     assert out_full.shape == (4, 72, 128, 3)
+
+
+def test_zoo_model_name_runs_in_service():
+    """Any zoo entry name works as upscaler_model (ROADMAP: CLI wired to
+    the zoo registry); offline weight resolution falls back to random
+    init with a warning instead of dying."""
+    import numpy as np
+
+    from sharkshark_tpu.upscale.service import EsrganUpscalerService
+
+    svc = EsrganUpscalerService(
+        lr_level=0,
+        denoising=False,
+        upscaler_model="realesr-animevideov3",
+        output_shape=(72, 128),
+    )
+    svc.proc_init()
+    out = svc.upscale(np.zeros((1, 36, 64, 3), np.uint8))
+    assert out.shape == (1, 72, 128, 3) and out.dtype == np.uint8
+
+
+def test_denoise_flush_drains_lookahead_at_eof():
+    """BSVD holds SHIFT_NUM frames of lookahead; proc_eof must emit them
+    (ROADMAP 'streaming BSVD flush semantics').  The drained frames must
+    equal what an infinite stream would eventually have emitted for the
+    same inputs: output j of a live stream is input frame j-16, so after
+    feeding K frames + flush, total outputs == K valid frames."""
+    import numpy as np
+
+    from sharkshark_tpu.models import bsvd as bsvd_mod
+    from sharkshark_tpu.upscale.service import EsrganUpscalerService
+    from tests.test_upscale_steps import TINY_BSVD
+
+    svc = EsrganUpscalerService(
+        lr_level=0,
+        denoising=True,
+        batch_size=2,
+        output_shape=(48, 80),
+        bsvd_cfg=TINY_BSVD,
+        compute_dtype=np.float32,
+    )
+    svc.lr_shape = (24, 40)
+    svc.proc_init()
+
+    rng = np.random.default_rng(5)
+    k = 5
+    outs = []
+    for i in range(0, k, 2):
+        frames = rng.integers(0, 255, (min(2, k - i), 24, 40, 3), dtype=np.uint8)
+        outs.append(svc.upscale(frames))
+
+    flushed = list(svc.proc_eof())
+    assert len(flushed) == 1
+    tail = flushed[0].frames
+    # stream shorter than the lookahead: every input frame drains at EOF
+    assert tail.shape == (k, 48, 80, 3) and tail.dtype == np.uint8
+    assert svc._frames_seen == 6  # includes the padded tail micro-batch
+
+    # non-denoise service has nothing in flight
+    svc2 = EsrganUpscalerService(lr_level=0, denoising=False, output_shape=(48, 80))
+    svc2.proc_init()
+    assert list(svc2.proc_eof()) == []
