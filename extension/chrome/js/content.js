@@ -51,9 +51,22 @@ function scan() {
   document.querySelectorAll("div").forEach(upscaleBackground);
 }
 
-scan();
-new MutationObserver(() => scan()).observe(document.documentElement, {
+// the options page (options/options.html) toggles `enabled` live
+let enabled = true;
+chrome.storage.sync.get({ enabled: true }, (s) => {
+  enabled = s.enabled;
+  if (enabled) scan();
+});
+chrome.storage.onChanged.addListener((changes) => {
+  if (changes.enabled) enabled = changes.enabled.newValue;
+});
+
+function scanIfEnabled() {
+  if (enabled) scan();
+}
+
+new MutationObserver(scanIfEnabled).observe(document.documentElement, {
   childList: true,
   subtree: true,
 });
-setInterval(scan, 5000);
+setInterval(scanIfEnabled, 5000);

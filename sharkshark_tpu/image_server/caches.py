@@ -238,12 +238,23 @@ class RedisImageCache(ImageCache):
     """Distributed byte cache + per-file locks (requires redis-py and a
     reachable server; reference stateless_cache.py:11-34)."""
 
-    def __init__(self, host: str = "localhost", port: int = 6379, prefix: str = "ss4_"):
-        import redis
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 6379,
+        prefix: str = "ss4_",
+        client=None,
+    ):
+        """client: any object with the redis-py get/set/exists/lock
+        surface — injectable so multi-frontend coordination is testable
+        without a live server (tests/test_image_server.py)."""
+        if client is None:
+            import redis
 
+            client = redis.Redis(host=host, port=port, db=0)
         self.prefix = prefix
         self.lock_suffix = "_lock"
-        self.rd = redis.Redis(host=host, port=port, db=0)
+        self.rd = client
 
     def file_lock(self, filename: str, timeout: float = 30, blocking_timeout: float = 10):
         return self.rd.lock(

@@ -220,3 +220,73 @@ def test_concurrent_duplicate_uploads_both_succeed(backend_server):
     with concurrent.futures.ThreadPoolExecutor(4) as pool:
         codes = list(pool.map(lambda _: post(), range(4)))
     assert codes == [200, 200, 200, 200], codes
+
+
+class FakeRedis:
+    """redis-py get/set/exists/lock surface over one shared dict — the
+    coordination substrate two frontend hosts would share in production."""
+
+    def __init__(self):
+        import threading
+
+        self._kv = {}
+        self._locks = {}
+        self._guard = threading.Lock()
+
+    def get(self, k):
+        return self._kv.get(k)
+
+    def set(self, k, v):
+        self._kv[k] = v
+
+    def exists(self, k):
+        return int(k in self._kv)
+
+    def lock(self, name, timeout=None, blocking_timeout=None):
+        import threading
+
+        from sharkshark_tpu.image_server.caches import LocalLockRegistry
+
+        with self._guard:
+            reg = self._locks.setdefault("_reg", LocalLockRegistry())
+        return reg.file_lock(name, timeout or 30, blocking_timeout or 10)
+
+
+def test_multihost_frontends_share_redis_cache(backend_server):
+    """Two frontend instances (as on two serving hosts) with one shared
+    Redis: host A's miss fills the cache; host B serves the same image as
+    a hit without touching the GPU backend (reference cache_frontend.py
+    Redis existence check + per-file distributed lock)."""
+    from sharkshark_tpu.image_server.caches import RedisImageCache
+
+    backend_url, _ = backend_server
+    shared = FakeRedis()
+    fe_a = CacheFrontend(
+        backend_url=f"{backend_url}/upscale/image",
+        cache=RedisImageCache(client=shared),
+    )
+    fe_b = CacheFrontend(
+        backend_url="http://127.0.0.1:1/upscale/image",  # unreachable: B must hit cache
+        cache=RedisImageCache(client=shared),
+    )
+    ha = serve_background(fe_a.app, port=0)
+    hb = serve_background(fe_b.app, port=0)
+    try:
+        png = _png_bytes(value=77)
+        ra = httpx.post(
+            f"http://127.0.0.1:{ha.server_address[1]}/upscale/image",
+            files={"file": png}, timeout=120,
+        )
+        assert ra.status_code == 200 and ra.json()["cache"] == "miss"
+        rb = httpx.post(
+            f"http://127.0.0.1:{hb.server_address[1]}/upscale/image",
+            files={"file": png}, timeout=30,
+        )
+        assert rb.status_code == 200 and rb.json()["cache"] == "hit"
+        rfile = httpx.get(
+            f"http://127.0.0.1:{hb.server_address[1]}{rb.json()['url']}", timeout=10
+        )
+        assert rfile.status_code == 200 and len(rfile.content) > 0
+    finally:
+        ha.shutdown()
+        hb.shutdown()
