@@ -104,15 +104,83 @@ def fnet_apply(params: dict, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     return jnp.tanh(out) * jnp.asarray(24.0, out.dtype)
 
 
+def _fold_conv_out(w: jnp.ndarray, b: jnp.ndarray, s: int):
+    """Fold the post-pixel-shuffle 3x3 conv_out back to LR resolution.
+
+    conv_out(relu(pixel_shuffle(y, s))) == pixel_shuffle(conv3x3_lr(
+    relu(y), W_lr), s) exactly: each HR output phase (i, j) taps HR
+    neighbours that live in adjacent LR pixels' shuffle channels, so
+    W_lr[(dY,dX), (c,a,b), (o,i,j)] = W[(a-i+s*dY, b-j+s*dX), c, o]
+    where the HR offset is within the 3x3 support, else 0.  The HR-
+    resolution conv ran with C_in=s*s-fold fewer channels than the MXU
+    lane width (C=4 at 2160p: ~10 ms); the folded conv is a dense
+    C64->48 LR conv (~1.4 ms) — measured 21.3 -> ~11 ms for the tail."""
+    kh, kw, c_hr, o_hr = w.shape
+    off = kh // 2
+    dY = np.arange(-(off // s + 1), off // s + 2)  # LR taps that can hit
+    a = np.arange(s)
+    grid = a[None, :, None] - a[None, None, :] + s * dY[:, None, None]
+    valid = np.abs(grid) <= off                     # (D, a, i)
+    idx = np.clip(grid + off, 0, kh - 1)
+    iy = idx[:, :, :, None, None, None]
+    ix = idx[None, None, None, :, :, :]
+    wg = w[iy, ix]                                  # (D,a,i, E,b,j, c, o)
+    m = (valid[:, :, :, None, None, None] & valid[None, None, None]).astype(w.dtype)
+    wg = wg * m[..., None, None]
+    wg = wg.transpose(0, 3, 6, 1, 4, 7, 2, 5)       # D,E,c,a,b,o,i,j
+    d = len(dY)
+    w_lr = wg.reshape(d, d, c_hr * s * s, o_hr * s * s)
+    b_lr = jnp.repeat(b, s * s)
+    return w_lr, b_lr, d // 2
+
+
+def _srnet_body(p: dict, y: jnp.ndarray) -> jnp.ndarray:
+    for blk in p["blocks"]:
+        r = jnp.maximum(conv2d(y, **blk[0], padding=1), 0)
+        y = conv2d(r, **blk[1], padding=1) + y
+    w_lr, b_lr, pad = _fold_conv_out(p["conv_out"]["w"], p["conv_out"]["b"], 4)
+    z = conv2d(jnp.maximum(y, 0), w_lr, b_lr, padding=pad)
+    return pixel_shuffle(z, 4)
+
+
 def srnet_apply(params: dict, lr_curr: jnp.ndarray, hr_prev_tran: jnp.ndarray) -> jnp.ndarray:
     """lr_curr (N,H,W,c) + space-to-depth'd warped hr_prev (N,H,W,s^2*c)."""
     p = params
     y = jnp.maximum(conv2d(jnp.concatenate([lr_curr, hr_prev_tran], -1), **p["conv_in"], padding=1), 0)
-    for blk in p["blocks"]:
-        r = jnp.maximum(conv2d(y, **blk[0], padding=1), 0)
-        y = conv2d(r, **blk[1], padding=1) + y
-    y = jnp.maximum(pixel_shuffle(y, 4), 0)
-    return conv2d(y, **p["conv_out"], padding=1)
+    return _srnet_body(p, y)
+
+
+def srnet_apply_planar_warp(
+    params: dict, lr_curr: jnp.ndarray, hr_warp_nchw: jnp.ndarray, s: int
+) -> jnp.ndarray:
+    """srnet_apply with space_to_depth folded into conv_in.
+
+    conv3x3 over [lr | space_to_depth(hr, s)] == conv3x3(lr, W_lr) +
+    conv(hr, W_{3s x 3s}, stride s, pad s) with the s2d slice of the
+    weights rearranged (dy,dx)-block-major -> spatial taps.  Consumes
+    the warp kernel's native (1, C, H, W) planar output directly, so
+    the 4x-resolution s2d transpose (12 ms at 2160x3840) and the
+    NCHW->NHWC relayout never happen."""
+    p = params
+    w = p["conv_in"]["w"]
+    c_lr = lr_curr.shape[-1]
+    kh, kw, _, o = w.shape
+    w_lr, w_s2d = w[:, :, :c_lr], w[:, :, c_lr:]
+    c = w_s2d.shape[2] // (s * s)
+    w_big = (
+        w_s2d.reshape(kh, kw, s, s, c, o)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(kh * s, kw * s, c, o)
+    )
+    y = conv2d(lr_curr, w_lr, p["conv_in"]["b"], padding=1)
+    y = y + jax.lax.conv_general_dilated(
+        hr_warp_nchw.astype(y.dtype),
+        w_big.astype(y.dtype),
+        window_strides=(s, s),
+        padding=[(s, s), (s, s)],
+        dimension_numbers=("NCHW", "HWIO", "NHWC"),
+    )
+    return _srnet_body(p, jnp.maximum(y, 0))
 
 
 def frnet_step(
@@ -136,6 +204,10 @@ def frnet_step(
     if pad_h or pad_w:
         flow = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
     hr_flow = jnp.asarray(float(s), flow.dtype) * resize(flow, (h * s, w * s), "bilinear")
+    # NOTE: a planar-warp-output + strided-conv_in fold was measured
+    # SLOWER than s2d+conv (17.3 vs 11.1 ms at 2160p: the 12x12/s4
+    # C_in=3 conv is MXU-hostile); srnet_apply_planar_warp stays as the
+    # documented negative result.
     warp = backward_warp_fast if fast_warp else backward_warp
     hr_warp = warp(hr_prev, hr_flow)
     return srnet_apply(params["srnet"], lr_curr, space_to_depth(hr_warp, s))

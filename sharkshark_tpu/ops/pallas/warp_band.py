@@ -181,7 +181,7 @@ def _kernel(
             out_ref[ci, jj, :] = jnp.sum(wv * mv, axis=0)
 
 
-@partial(jax.jit, static_argnames=("window", "compute_dtype", "interpret"))
+@partial(jax.jit, static_argnames=("window", "compute_dtype", "interpret", "planar_out"))
 def banded_backward_warp(
     x: jnp.ndarray,
     flow: jnp.ndarray,
@@ -191,13 +191,16 @@ def banded_backward_warp(
     window: tuple[int, int] = WINDOW_FAST,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    planar_out: bool = False,
 ) -> jnp.ndarray:
     """Warp x (1, H, W, C) backward along flow (1, H, W, 2), equivalent to
     ops.warp.backward_warp, given per-tile window bases (bx, by) from
     banded_warp_bases.  Only valid when banded_warp_bases reported ok for
     this window variant; callers guard with lax.switch/cond.
     compute_dtype=float32 matches the gather path to ~1e-6; bfloat16 is
-    the fast inference mode."""
+    the fast inference mode.  planar_out returns (1, C, H, W) — the
+    kernel's native layout, consumed directly by NCHW convs (EGVSR's
+    fused space_to_depth conv_in) with zero transposes."""
     n, h, w, c = x.shape
     assert banded_warp_supported(x.shape), x.shape
     rw, cw = window
@@ -233,4 +236,6 @@ def banded_backward_warp(
         interpret=interpret,
     )(bx, by, xp, fx, fy)
 
+    if planar_out:
+        return out[None].astype(x.dtype)
     return out.transpose(1, 2, 0)[None].astype(x.dtype)

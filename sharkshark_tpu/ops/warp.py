@@ -106,6 +106,7 @@ def backward_warp_fast(
     *,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    planar_out: bool = False,
 ) -> jnp.ndarray:
     """backward_warp with the banded Pallas kernel on the hot path.
 
@@ -121,9 +122,13 @@ def backward_warp_fast(
         banded_warp_supported,
     )
 
+    def gather():
+        y = backward_warp(x, flow)
+        return y.transpose(0, 3, 1, 2) if planar_out else y
+
     on_tpu = jax.default_backend() == "tpu"
     if not banded_warp_supported(x.shape) or not (on_tpu or interpret):
-        return backward_warp(x, flow)
+        return gather()
 
     bx, by, ok_fast, ok_full = banded_warp_bases(flow)
 
@@ -131,12 +136,13 @@ def backward_warp_fast(
         return lambda: banded_backward_warp(
             x, flow, bx, by, window=window,
             compute_dtype=compute_dtype, interpret=interpret,
+            planar_out=planar_out,
         )
 
     idx = jnp.where(ok_fast, 0, jnp.where(ok_full, 1, 2))
     return jax.lax.switch(
         idx,
-        [banded(WINDOW_FAST), banded(WINDOW_FULL), lambda: backward_warp(x, flow)],
+        [banded(WINDOW_FAST), banded(WINDOW_FULL), gather],
     )
 
 
