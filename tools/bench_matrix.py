@@ -19,13 +19,100 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _bench_egvsr(iters: int):
+    """EGVSR infer_step ladder (the reference's egvsr_test.py shapes)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sharkshark_tpu.models import cast_params, egvsr
+
+    cfg = egvsr.DEFAULT
+    params = cast_params(egvsr.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    checksum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+    rows = []
+    for h, w in [(540, 960), (630, 1120), (720, 1280)]:
+        lr = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3), dtype=jnp.bfloat16)
+        state = egvsr.init_recurrent_state(1, h, w, cfg, jnp.bfloat16)
+        fn = jax.jit(lambda p, st, x: egvsr.infer_step(p, st, x, cfg=cfg))
+        out, st = fn(params, state, lr)
+        float(checksum(out))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, st = fn(params, state, lr)
+        float(checksum(out))
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        row = {"model": "egvsr", "lr": f"{h}x{w}", "out": f"{h*4}x{w*4}",
+               "ms_per_frame": round(ms, 1), "fps": round(1000 / ms, 2)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
+def _bench_denoise(iters: int, batch: int):
+    """Production denoise path: chunked BSVD + SRVGG + postproc, 720p."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from sharkshark_tpu.models import bsvd, cast_params, srvgg
+    from sharkshark_tpu.upscale import (
+        UpscaleSpec,
+        init_denoise_state,
+        upscale_batch_denoise,
+    )
+
+    cfg = srvgg.GENERAL_X4V3
+    params = {
+        "sr": cast_params(srvgg.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16),
+        "denoise": cast_params(bsvd.init_params(jax.random.PRNGKey(1)), jnp.bfloat16),
+    }
+    spec = UpscaleSpec(lr_shape=(720, 1280), output_shape=(1440, 2560),
+                       compute_dtype=jnp.bfloat16)
+    checksum = jax.jit(lambda o: jnp.sum(o, dtype=jnp.int32))
+    state = init_denoise_state(1, spec)
+    fn = jax.jit(
+        lambda p, s, f: upscale_batch_denoise(
+            lambda q, x: srvgg.apply_down2(q, x, cfg=cfg), p, s, f, spec
+        ),
+        donate_argnums=(1,),
+    )
+    frames = jnp.zeros((batch, 720, 1280, 3), jnp.uint8)
+    out, state = fn(params, state, frames)
+    float(checksum(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, state = fn(params, state, frames)
+    float(checksum(out))
+    dt = time.perf_counter() - t0
+    fps = iters * batch / dt
+    row = {"model": "realesrgan+bsvd", "lr": "720x1280", "out": "1440x2560",
+           "fps": round(fps, 2)}
+    print(json.dumps(row), flush=True)
+    return [row]
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="+", default=["3,0", "5,0", "1,0"],
                    help="lr_level,hr_level pairs")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--suites", nargs="+", default=["sr"],
+                   choices=["sr", "egvsr", "denoise"],
+                   help="which benchmark families to run")
     args = p.parse_args(argv)
+
+    extra = []
+    if "egvsr" in args.suites:
+        extra += _bench_egvsr(args.iters)
+    if "denoise" in args.suites:
+        extra += _bench_denoise(args.iters, args.batch)
+    if "sr" not in args.suites:
+        print(json.dumps({"matrix": extra}))
+        return
 
     import jax
     import jax.numpy as jnp
@@ -89,7 +176,7 @@ def main(argv=None) -> None:
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    print(json.dumps({"matrix": results}))
+    print(json.dumps({"matrix": results + extra}))
 
 
 if __name__ == "__main__":
