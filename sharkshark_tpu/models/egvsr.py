@@ -23,6 +23,7 @@ import numpy as np
 from ..ops import (
     backward_warp,
     backward_warp_fast,
+    pixel_shuffle_mxu,
     conv2d,
     leaky_relu,
     pad2d,
@@ -140,7 +141,8 @@ def _srnet_body(p: dict, y: jnp.ndarray) -> jnp.ndarray:
         y = conv2d(r, **blk[1], padding=1) + y
     w_lr, b_lr, pad = _fold_conv_out(p["conv_out"]["w"], p["conv_out"]["b"], 4)
     z = conv2d(jnp.maximum(y, 0), w_lr, b_lr, padding=pad)
-    return pixel_shuffle(z, 4)
+    # one-hot-conv shuffle: the big HR relayout on the MXU (9.7 -> 6.6 ms)
+    return pixel_shuffle_mxu(z, 4)
 
 
 def srnet_apply(params: dict, lr_curr: jnp.ndarray, hr_prev_tran: jnp.ndarray) -> jnp.ndarray:

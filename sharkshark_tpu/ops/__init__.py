@@ -6,6 +6,7 @@ from .nn import (
     leaky_relu,
     relu6,
     pixel_shuffle,
+    pixel_shuffle_mxu,
     space_to_depth,
     pad2d,
 )
@@ -24,7 +25,7 @@ from .warp import backward_warp, backward_warp_ac0, backward_warp_fast, grid_sam
 
 __all__ = [
     "conv2d", "conv_transpose2d", "depthwise_conv2d", "prelu", "leaky_relu",
-    "relu6", "pixel_shuffle", "space_to_depth", "pad2d",
+    "relu6", "pixel_shuffle", "pixel_shuffle_mxu", "space_to_depth", "pad2d",
     "resize", "resize_nchw",
     "gaussian_kernel_2d", "sharpen_kernel_2d", "blur", "sharpen",
     "global_color_match", "local_color_match", "to_float", "to_uint8",

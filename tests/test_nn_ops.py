@@ -169,3 +169,17 @@ def test_sharpen_near_identity_at_tiny_strength():
     x = RNG.standard_normal((1, 8, 8, 1)).astype(np.float32)
     out = np.asarray(sharpen(jnp.asarray(x), 0.00002))
     np.testing.assert_allclose(out, x, atol=1e-3)
+
+
+def test_pixel_shuffle_mxu_bit_identical():
+    import jax
+    import jax.numpy as jnp
+
+    from sharkshark_tpu.ops import pixel_shuffle, pixel_shuffle_mxu
+
+    for r, c in [(2, 8), (4, 48), (4, 64)]:
+        x = jax.random.uniform(jax.random.PRNGKey(r * c), (1, 12, 16, c), dtype=jnp.float32)
+        a = pixel_shuffle(x, r)
+        b = pixel_shuffle_mxu(x, r)
+        assert a.shape == b.shape
+        assert bool(jnp.all(a == b))
