@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import conv2d, prelu, leaky_relu, pixel_shuffle, resize
+from ..ops import conv2d, prelu, leaky_relu, pixel_shuffle, pixel_shuffle_mxu, resize
 from .torch_import import conv_from_torch, prelu_from_torch
 
 
@@ -76,8 +76,8 @@ def apply(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> j
     y = _body(params, x, cfg)
     if cfg.num_in_ch == cfg.num_out_ch:
         y = y + jnp.repeat(x.astype(y.dtype), cfg.upscale**2, axis=-1)
-        return pixel_shuffle(y, cfg.upscale)
-    y = pixel_shuffle(y, cfg.upscale)
+        return pixel_shuffle_mxu(y, cfg.upscale)
+    y = pixel_shuffle_mxu(y, cfg.upscale)
     h, w = x.shape[-3], x.shape[-2]
     base = resize(x, (h * cfg.upscale, w * cfg.upscale), "nearest")
     return y + base.astype(y.dtype)
