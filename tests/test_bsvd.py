@@ -218,3 +218,26 @@ def test_chunk_step_live_stream_matches_stream_step():
     np.testing.assert_allclose(
         got[bsvd.SHIFT_NUM :], ref[bsvd.SHIFT_NUM :], atol=2e-5, rtol=1e-4
     )
+
+
+def test_chunk_step_bf16_production_dtype():
+    """The production denoise path runs the chunked BSVD in bf16; the
+    carry must stay bf16 (no silent f32 upcast doubling state HBM) and
+    outputs must track the f32 path within bf16 tolerance."""
+    params = bsvd.init_params(jnp.asarray(np.array([3, 4], np.uint32)), CFG)
+    frames = jnp.asarray(RNG.normal(size=(4, 1, 16, 24, 4)).astype(np.float32))
+
+    st32 = bsvd.init_chunk_state(1, 16, 24, CFG, jnp.float32)
+    y32, _ = bsvd.chunk_step(params, st32, frames, cfg=CFG)
+
+    stbf = bsvd.init_chunk_state(1, 16, 24, CFG, jnp.bfloat16)
+    ybf, stbf2 = bsvd.chunk_step(params, stbf, frames.astype(jnp.bfloat16), cfg=CFG)
+
+    import jax
+
+    for leaf in jax.tree.leaves(stbf2):
+        if hasattr(leaf, "dtype") and leaf.dtype != jnp.int32:
+            assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    diff = np.abs(np.asarray(ybf, np.float32) - np.asarray(y32))
+    scale = np.abs(np.asarray(y32)).max() + 1.0
+    assert float(diff.max()) / scale < 0.1
