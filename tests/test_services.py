@@ -87,7 +87,11 @@ def test_zoo_model_name_runs_in_service():
     assert out.shape == (1, 72, 128, 3) and out.dtype == np.uint8
 
 
-def test_denoise_flush_drains_lookahead_at_eof():
+import pytest
+
+
+@pytest.mark.parametrize("batch_size", [2, 3])
+def test_denoise_flush_drains_lookahead_at_eof(batch_size):
     """BSVD holds SHIFT_NUM frames of lookahead; proc_eof must emit them
     (ROADMAP 'streaming BSVD flush semantics').  The drained frames must
     equal what an infinite stream would eventually have emitted for the
@@ -102,7 +106,7 @@ def test_denoise_flush_drains_lookahead_at_eof():
     svc = EsrganUpscalerService(
         lr_level=0,
         denoising=True,
-        batch_size=2,
+        batch_size=batch_size,
         output_shape=(48, 80),
         bsvd_cfg=TINY_BSVD,
         compute_dtype=np.float32,
@@ -113,8 +117,10 @@ def test_denoise_flush_drains_lookahead_at_eof():
     rng = np.random.default_rng(5)
     k = 5
     outs = []
-    for i in range(0, k, 2):
-        frames = rng.integers(0, 255, (min(2, k - i), 24, 40, 3), dtype=np.uint8)
+    for i in range(0, k, batch_size):
+        frames = rng.integers(
+            0, 255, (min(batch_size, k - i), 24, 40, 3), dtype=np.uint8
+        )
         outs.append(svc.upscale(frames))
 
     flushed = list(svc.proc_eof())
@@ -122,7 +128,8 @@ def test_denoise_flush_drains_lookahead_at_eof():
     tail = flushed[0].frames
     # stream shorter than the lookahead: every input frame drains at EOF
     assert tail.shape == (k, 48, 80, 3) and tail.dtype == np.uint8
-    assert svc._frames_seen == 6  # includes the padded tail micro-batch
+    # frames_seen includes padded tail micro-batches
+    assert svc._frames_seen == -(-k // batch_size) * batch_size
 
     # non-denoise service has nothing in flight
     svc2 = EsrganUpscalerService(lr_level=0, denoising=False, output_shape=(48, 80))
