@@ -31,12 +31,30 @@ def make_mesh(
     """Build a ("data", "spatial") mesh.  With only `n_devices` given, all
     of them go on the data axis."""
     if devices is None:
-        devices = jax.devices()[: n_devices or len(jax.devices())]
+        avail = jax.devices()
+        want = n_devices or len(avail)
+        if len(avail) < want:
+            raise ValueError(
+                f"make_mesh needs {want} devices but this host exposes only "
+                f"{len(avail)} ({avail[0].platform}). Provision virtual CPU "
+                "devices first: JAX_PLATFORMS=cpu XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={want} (what "
+                "tests/conftest.py and __graft_entry__.dryrun_multichip do)."
+            )
+        devices = avail[:want]
     n = len(devices)
     if data is None:
-        assert n % spatial == 0, (n, spatial)
+        if n % spatial != 0:
+            raise ValueError(
+                f"{n} devices do not split evenly over spatial={spatial}; "
+                "pass data= explicitly or pick a spatial axis dividing the "
+                "device count."
+            )
         data = n // spatial
-    assert data * spatial == n, (data, spatial, n)
+    if data * spatial != n:
+        raise ValueError(
+            f"mesh shape data={data} x spatial={spatial} != {n} devices"
+        )
     arr = np.asarray(devices).reshape(data, spatial)
     return Mesh(arr, ("data", "spatial"))
 

@@ -93,7 +93,8 @@ class UpscalePipeline:
         self.frame_step = 0
         self.last_reported = self.last_streamed = time.time()
         self.skipped_batches = 0
-        self._latencies: list[float] = []  # capture->streamer per batch (s)
+        self._latencies: list[float] = []  # TRUE capture->streamer delivery (s)
+        self._intervals: list[float] = []  # gap between streamer deliveries (s)
 
     # -- stage callbacks (run on the producer's worker thread) -------------
 
@@ -121,6 +122,7 @@ class UpscalePipeline:
                     audio_segment=seg,
                     step=self.frame_step,
                     profiler=entry.profiler,
+                    captured_at=getattr(entry, "captured_at", 0.0) or time.time(),
                 )
                 self.frame_step += 1
                 entry.profiler.end("recoder.output.entry")
@@ -144,6 +146,7 @@ class UpscalePipeline:
                 audio_segments=entry.audio_segment,
                 step=entry.step,
                 profiler=entry.profiler,
+                captured_at=entry.captured_at,
             )
             entry.profiler.set(
                 "upscaler.output.frames.shape", str(entry.frames.shape)
@@ -170,10 +173,15 @@ class UpscalePipeline:
         # and drop percentage
         import numpy as _np
 
-        if hasattr(entry, "profiler") and entry.profiler.data.get("upscaler.upscale"):
-            self._latencies.append(time.time() - self.last_streamed)
+        now = time.time()
+        if getattr(entry, "captured_at", 0.0):
+            # true per-batch latency: frames captured -> delivered to streamer
+            self._latencies.append(now - entry.captured_at)
             if len(self._latencies) > 1000:
                 del self._latencies[:500]
+        self._intervals.append(now - self.last_streamed)
+        if len(self._intervals) > 1000:
+            del self._intervals[:500]
         if (time.time() - self.last_reported) > self.report_interval:
             prof.set("upscaler.inputq", self.upscaler.job_queue.qsize())
             prof.set("streamer.inputq", self.streamer.job_queue.qsize())
@@ -186,8 +194,12 @@ class UpscalePipeline:
             )
             if self._latencies:
                 lat = _np.asarray(self._latencies[-500:])
-                prof.set("pipeline.batch_interval_p50_ms", float(_np.percentile(lat, 50)) * 1000)
-                prof.set("pipeline.batch_interval_p99_ms", float(_np.percentile(lat, 99)) * 1000)
+                prof.set("pipeline.latency_p50_ms", float(_np.percentile(lat, 50)) * 1000)
+                prof.set("pipeline.latency_p99_ms", float(_np.percentile(lat, 99)) * 1000)
+            if self._intervals:
+                iv = _np.asarray(self._intervals[-500:])
+                prof.set("pipeline.batch_interval_p50_ms", float(_np.percentile(iv, 50)) * 1000)
+                prof.set("pipeline.batch_interval_p99_ms", float(_np.percentile(iv, 99)) * 1000)
             print(json.dumps(prof.data, indent=2, default=str))
             self.last_reported = time.time()
         self.last_streamed = time.time()

@@ -34,6 +34,7 @@ class RecoderEntry:
     frames: Optional[np.ndarray]
     fps: float
     profiler: Profiler
+    captured_at: float = 0.0  # wall-clock at capture, for true e2e latency
 
 
 def _overlay_received(frame: np.ndarray, count: int) -> np.ndarray:
@@ -167,6 +168,7 @@ class Recoder(BaseService):
                     frames=np.stack(frames, axis=0),
                     fps=self.fps,
                     profiler=Profiler(),
+                    captured_at=time.time(),
                 )
                 entry.profiler.set(
                     "recoder.capture", sum(tick_times) / len(tick_times)

@@ -29,6 +29,7 @@ class StreamerEntry:
     audio_segments: Optional[np.ndarray]
     step: int
     profiler: Profiler
+    captured_at: float = 0.0  # wall-clock when source frames were captured
 
 
 def _overlay_status(frame: np.ndarray, processed: int, skipped: int) -> np.ndarray:

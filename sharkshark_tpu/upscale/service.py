@@ -57,6 +57,7 @@ class UpscalerQueueEntry:
     elapsed: float = 0.0
     last_modified: float = 0.0
     profiler: Profiler = field(default_factory=Profiler)
+    captured_at: float = 0.0  # wall-clock when source frames were captured
 
 
 class BaseUpscalerService(BaseService):
@@ -83,6 +84,7 @@ class BaseUpscalerService(BaseService):
             elapsed=elapsed,
             last_modified=time.time(),
             profiler=job.profiler,
+            captured_at=job.captured_at,
         )
 
     def upscale(self, frames):  # pragma: no cover - abstract
