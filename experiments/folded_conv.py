@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .nn import conv2d, prelu
+from sharkshark_tpu.ops import conv2d, prelu
 
 __all__ = ["fold_weights_xla", "folded_conv_prelu_stack"]
 

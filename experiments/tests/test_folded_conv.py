@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from sharkshark_tpu.ops import conv2d, prelu
-from sharkshark_tpu.ops.folded_conv import folded_conv_prelu_stack
+from experiments.folded_conv import folded_conv_prelu_stack
 
 
 def test_folded_stack_exact():

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from jax.experimental import pallas as pl
 
-import sharkshark_tpu.ops.pallas.conv_stack as cs
+import experiments.conv_stack as cs
 from sharkshark_tpu.ops import conv2d, prelu
 
 

@@ -1,3 +1,3 @@
-from .conv_stack import fused_conv_stack, conv_stack_supported
+from .warp_band import banded_backward_warp
 
-__all__ = ["fused_conv_stack", "conv_stack_supported"]
+__all__ = ["banded_backward_warp"]
