@@ -3,15 +3,25 @@
 Measures the reference's north-star workload (BASELINE.md): 720p -> 1440p
 RealESRGAN(SRVGG general-x4v3 architecture) upscale with the full fused
 post-processing (color match, output resize), micro-batch 4 — i.e. the
-body of FsrcnnUpscalerService.upscale_multi — and reports frames/sec.
-Baseline to beat: 24 fps sustained (README.md:20, RTX 4090).
+body of FsrcnnUpscalerService.upscale_multi — over a >= 30 s window with
+run-to-run variance, plus an end-to-end sustained pipeline run (paced
+fake-ffmpeg source -> thread pipeline -> sink) for the like-for-like
+comparison with the reference's "24 fps sustained, 0.5 % drop"
+(reference README.md:20).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the headline
+{"metric", "value", "unit", "vs_baseline"} the driver records.
+
+Env: SHARKSHARK_BENCH_E2E_SECONDS (default 60; 0 disables the e2e run),
+SHARKSHARK_BENCH_WINDOW_SECONDS (default 30).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -20,8 +30,8 @@ import jax.numpy as jnp
 BASELINE_FPS = 24.0
 
 
-def main() -> None:
-    from sharkshark_tpu.models import srvgg
+def device_step_bench(window_s: float) -> None:
+    from sharkshark_tpu.models import cast_params, srvgg
     from sharkshark_tpu.upscale import (
         UpscaleSpec,
         enable_persistent_cache,
@@ -31,8 +41,6 @@ def main() -> None:
     # on-disk XLA executable cache (the TRT .pts analogue): repeat runs
     # skip the multi-minute 720p compile
     enable_persistent_cache()
-
-    from sharkshark_tpu.models import cast_params
 
     cfg = srvgg.GENERAL_X4V3
     params = cast_params(
@@ -46,8 +54,7 @@ def main() -> None:
     batch = 4  # reference micro-batch: min(4, fps) (pipeline.py:31)
 
     # fast epilogue: the model emits 1440p directly (pixel-shuffle and the
-    # 2x bicubic downscale fused at LR resolution — ops/fused_epilogue.py);
-    # color matching then runs at output resolution instead of 4x
+    # 2x bicubic downscale fused at LR resolution — ops/fused_epilogue.py)
     fn = jax.jit(
         lambda p, f: upscale_multi(
             lambda q, x: srvgg.apply_down2(q, x, cfg=cfg), p, f, spec
@@ -67,14 +74,70 @@ def main() -> None:
     for _ in range(2):
         float(checksum(fn(params, frames)))
 
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, frames)
-    float(checksum(out))
-    dt = time.perf_counter() - t0
+    # >= window_s of 10-iteration blocks; report mean fps and spread
+    block = 10
+    block_fps = []
+    t_start = time.perf_counter()
+    while time.perf_counter() - t_start < window_s:
+        t0 = time.perf_counter()
+        for _ in range(block):
+            out = fn(params, frames)
+        float(checksum(out))
+        dt = time.perf_counter() - t0
+        block_fps.append(block * batch / dt)
 
-    fps = (iters * batch) / dt
+    import numpy as np
+
+    fps = float(np.mean(block_fps))
+    std = float(np.std(block_fps))
+    print(
+        json.dumps(
+            {
+                "metric": "device_step_720p_to_1440p",
+                "fps_mean": round(fps, 2),
+                "fps_std": round(std, 2),
+                "blocks": len(block_fps),
+                "window_s": round(time.perf_counter() - t_start, 1),
+            }
+        ),
+        flush=True,
+    )
+    return fps
+
+
+def e2e_bench(seconds: float):
+    """Run tools/bench_e2e.py in a subprocess (its own pipeline threads +
+    jax client) and return its parsed result."""
+    out_json = "/tmp/ss4_bench_e2e.json"
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_e2e.py"),
+        "--seconds", str(seconds), "--fps", "24", "--no-denoise",
+        "--json-out", out_json,
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, timeout=seconds * 6 + 1500,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        with open(out_json) as f:
+            res = json.load(f)
+        print(json.dumps(res), flush=True)
+        return res
+    except Exception as ex:  # noqa: BLE001 - bench must still emit headline
+        print(json.dumps({"metric": "e2e_sustained_fps", "error": str(ex)[:200]}),
+              flush=True)
+        return None
+
+
+def main() -> None:
+    window = float(os.environ.get("SHARKSHARK_BENCH_WINDOW_SECONDS", "30"))
+    e2e_s = float(os.environ.get("SHARKSHARK_BENCH_E2E_SECONDS", "60"))
+
+    fps = device_step_bench(window)
+    if e2e_s > 0:
+        e2e_bench(e2e_s)
+
     print(
         json.dumps(
             {

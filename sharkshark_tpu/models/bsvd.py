@@ -370,10 +370,12 @@ def _shift_conv_chunk(p: dict, st: dict, x: jnp.ndarray, act: str):
     return y, {"left": new_left, "center": new_center}
 
 
-def _mem_chunk(p, st, x, act, first_idx, t_end):
-    x = _window_mask(x, first_idx, t_end)
+def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
+    if not warm:
+        x = _window_mask(x, first_idx, t_end)
     y, s1 = _shift_conv_chunk(p["c1"], st["c1"], x, act)
-    y = _window_mask(y, first_idx - 1, t_end)
+    if not warm:
+        y = _window_mask(y, first_idx - 1, t_end)
     y, s2 = _shift_conv_chunk(p["c2"], st["c2"], y, act)
     return y, {"c1": s1, "c2": s2}
 
@@ -401,20 +403,20 @@ def _fifo(carry: jnp.ndarray, chunk: jnp.ndarray):
     return full[:t], full[t : t + d]
 
 
-def _denblock_chunk(p, st, x, act, base, t_end):
+def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
     """One DenBlock over a chunk.  x: (T, N, H, W, in_ch) for frames
     [base, base+T); returns output frames [base-8, base+T-8)."""
     skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
     x0 = _conv_batched(p["inc1"], _conv_batched(p["inc0"], x, act), act)
     skip2, st_s2 = _fifo(st["skip2"], x0)
     x1 = _conv_batched(p["down0"], x0, act, stride=2)
-    x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end)
+    x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end, warm)
     skip3, st_s3 = _fifo(st["skip3"], x1)  # x1 frames [base-2, ...)
     x2 = _conv_batched(p["down1"], x1, act, stride=2)
-    x2, st_d1 = _mem_chunk(p["down1_mem"], st["down1"], x2, act, base - 2, t_end)
-    u2, st_u2 = _mem_chunk(p["up2_mem"], st["up2"], x2, act, base - 4, t_end)
+    x2, st_d1 = _mem_chunk(p["down1_mem"], st["down1"], x2, act, base - 2, t_end, warm)
+    u2, st_u2 = _mem_chunk(p["up2_mem"], st["up2"], x2, act, base - 4, t_end, warm)
     u2 = _ps_batched(_conv_batched(p["up2"], u2), 2)
-    u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end)
+    u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end, warm)
     u1 = _ps_batched(_conv_batched(p["up1"], u1), 2)
     y = _conv_batched(p["outc1"], _conv_batched(p["outc0"], u1 + skip2, act))
     y = y.at[..., :3].set(skip1 - y[..., :3])
@@ -442,6 +444,7 @@ def chunk_step(
     *,
     cfg: BSVDConfig = BSVD_32,
     t_end: int | None = None,
+    warm: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Denoise a chunk of T consecutive frames in one layer-major pass.
 
@@ -453,11 +456,25 @@ def chunk_step(
     clip, feed the frames in chunks followed by SHIFT_NUM zero frames
     with t_end=T_clip and keep outputs [SHIFT_NUM:) — this equals
     denoise_clip for any chunk split.  For endless live streams leave
-    t_end=None."""
+    t_end=None.
+
+    warm=True (static) compiles the steady-state live executable: all
+    the warm-up window masks are skipped.  Valid only when t_end is None
+    and every frame index the masks would test is already >= 0 — the
+    deepest mask offset is base-15 (temp2 up1_mem, second conv), so the
+    caller may switch to the warm executable once state['t'] >= 15
+    (i.e. from the SHIFT_NUM-th frame on).  Output and state are
+    bit-identical to warm=False in that regime; ~10 full-tensor
+    elementwise passes per DenBlock disappear from the HBM-bound graph.
+    """
+    if warm and t_end is not None:
+        raise ValueError("warm chunk_step is live-stream only (t_end=None)")
     n0 = state["t"]
-    mid, st1 = _denblock_chunk(params["temp1"], state["temp1"], frames, cfg.act, n0, t_end)
+    mid, st1 = _denblock_chunk(
+        params["temp1"], state["temp1"], frames, cfg.act, n0, t_end, warm
+    )
     y, st2 = _denblock_chunk(
-        params["temp2"], state["temp2"], mid, cfg.act, n0 - 8, t_end
+        params["temp2"], state["temp2"], mid, cfg.act, n0 - 8, t_end, warm
     )
     return y, {"t": n0 + frames.shape[0], "temp1": st1, "temp2": st2}
 

@@ -20,7 +20,13 @@ from jax.sharding import Mesh
 from ..upscale.steps import UpscaleSpec, upscale_multi
 from .mesh import batch_sharding, replicated
 
-__all__ = ["make_sharded_upscale", "make_sharded_train_step"]
+__all__ = [
+    "make_sharded_upscale",
+    "make_sharded_train_step",
+    "make_sharded_denoise",
+    "make_sharded_egvsr_step",
+    "width_sharding",
+]
 
 
 def make_sharded_upscale(
@@ -38,6 +44,121 @@ def make_sharded_upscale(
         return upscale_multi(sr_apply, params, frames, spec)
 
     return jax.jit(fn, in_shardings=(ps, fs), out_shardings=fs)
+
+
+def width_sharding(mesh: Mesh):
+    """Per-leaf W sharding for image-like pytrees: the width axis (always
+    ndim-2 in our NHWC / T,N,H,W,C layouts) is split over every mesh
+    axis; leaves with fewer than 3 dims (scalars like the BSVD frame
+    counter) stay replicated.  Used for the single-stream paths that
+    have no batch to split — the TPU analogue of scaling one frame's
+    latency over chips (SURVEY §2.2 tensor/op parallelism row)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def leaf(x):
+        nd = getattr(x, "ndim", 0)
+        if nd < 3:
+            return NamedSharding(mesh, P())
+        spec = [None] * nd
+        spec[nd - 2] = axes if len(axes) > 1 else axes[0]
+        return NamedSharding(mesh, P(*spec))
+
+    return leaf
+
+
+def make_sharded_denoise(
+    sr_apply: Callable[[Any, jax.Array], jax.Array],
+    spec: UpscaleSpec,
+    mesh: Mesh,
+    cfg=None,
+    warm: bool = False,
+) -> Callable:
+    """Sharded denoise micro-batch step: `fn(params, state, frames_u8) ->
+    (out_u8, new_state)` with every image-like tensor split on W across
+    all mesh devices and params replicated.
+
+    The BSVD chunk axis T is *temporal* (shift convs couple adjacent
+    frames), so the micro-batch cannot ride a data axis; width is the
+    scalable dimension.  XLA SPMD inserts the conv halo exchanges and
+    keeps the color-match statistics psums on ICI. State enters and
+    leaves with the same shardings, so a live service keeps the state
+    resident and sharded across calls."""
+    from ..models import bsvd as _bsvd
+    from ..upscale.steps import upscale_batch_denoise
+
+    cfg = cfg or _bsvd.BSVD_32
+    ws = width_sharding(mesh)
+    rep = replicated(mesh)
+
+    def fn(params, state, frames):
+        return upscale_batch_denoise(
+            sr_apply, params, state, frames, spec, cfg, warm=warm
+        )
+
+    compiled = {}
+
+    def call(params, state, frames):
+        key = frames.shape
+        if key not in compiled:
+            st_specs = jax.tree_util.tree_map(ws, state)
+            compiled[key] = jax.jit(
+                fn,
+                in_shardings=(rep, st_specs, ws(frames)),
+                out_shardings=(ws(frames), st_specs),
+            )
+        return compiled[key](params, state, frames)
+
+    return call
+
+
+def make_sharded_egvsr_step(
+    spec: UpscaleSpec,
+    mesh: Mesh,
+) -> Callable:
+    """Sharded frame-recurrent EGVSR step: `fn(params, state, frame_u8) ->
+    (out_u8, new_state)`, W split across all devices (the single-frame
+    latency-scaling case — a recurrent stream has no batch to split).
+
+    Uses the exact gather warp (fast_warp=False): XLA partitions the
+    gather itself; the banded Pallas kernel stays a single-device code
+    path."""
+    ws = width_sharding(mesh)
+    rep = replicated(mesh)
+    compiled = {}
+
+    def call(params, state, frame):
+        key = frame.shape
+        if key not in compiled:
+            st_specs = jax.tree_util.tree_map(ws, state)
+            compiled[key] = jax.jit(
+                lambda p, s, f: _sharded_egvsr_body(p, s, f, spec),
+                in_shardings=(rep, st_specs, ws(frame)),
+                out_shardings=(ws(frame), st_specs),
+            )
+        return compiled[key](params, state, frame)
+
+    return call
+
+
+def _sharded_egvsr_body(params, state, frame, spec: UpscaleSpec):
+    from ..models import egvsr as _egvsr
+    from ..ops import resize, to_float, to_uint8
+    import jax.numpy as jnp
+
+    img = to_float(frame)
+    h, w = img.shape[-3], img.shape[-2]
+    lr = img
+    if spec.lr_hr_resize and (h > spec.lr_shape[0] or w > spec.lr_shape[1]):
+        lr = resize(img, spec.lr_shape, "area")
+    hr, new_state = _egvsr.infer_step(
+        params, state, lr.astype(spec.compute_dtype), fast_warp=False
+    )
+    hr = jnp.clip(hr.astype(jnp.float32), 0.0, 1.0)
+    if spec.output_shape is not None and hr.shape[-3:-1] != tuple(spec.output_shape):
+        hr = resize(hr, spec.output_shape, "bicubic")
+    return to_uint8(hr), new_state
 
 
 def make_sharded_train_step(train_step: Callable, mesh: Mesh) -> Callable:

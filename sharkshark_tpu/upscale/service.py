@@ -269,6 +269,14 @@ class EsrganUpscalerService(BaseUpscalerService):
                     sr_apply, p, s, f, spec, self.bsvd_cfg
                 )
             )
+            # steady-state executable: once SHIFT_NUM real frames are in,
+            # every warm-up window mask is a provable identity and a
+            # mask-free graph is compiled (bsvd.chunk_step warm=True)
+            self._batch_denoise_step_warm = ShapeCache(
+                lambda p, s, f: upscale_batch_denoise(
+                    sr_apply, p, s, f, spec, self.bsvd_cfg, warm=True
+                )
+            )
             self._flush_step = ShapeCache(
                 lambda p, s, f, te: flush_batch_denoise(
                     sr_apply, p, s, f, te, spec, self.bsvd_cfg
@@ -338,7 +346,12 @@ class EsrganUpscalerService(BaseUpscalerService):
                 frames = np.concatenate([frames, pad], axis=0)
                 # note: padded frames advance the BSVD stream state; for a
                 # live stream the repeated tail frame is benign warm-state
-            out, self._den_state = self._batch_denoise_step(
+            step = (
+                self._batch_denoise_step_warm
+                if self._frames_seen >= bsvd.SHIFT_NUM
+                else self._batch_denoise_step
+            )
+            out, self._den_state = step(
                 self._params, self._den_state, jnp.asarray(frames)
             )
             self._frames_seen += len(frames)

@@ -201,6 +201,7 @@ def upscale_batch_denoise(
     frames: jnp.ndarray,
     spec: UpscaleSpec,
     cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
+    warm: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Micro-batched denoise path: the whole micro-batch runs through
     BSVD in ONE layer-major chunk_step (every conv batched (T*N) on the
@@ -229,7 +230,7 @@ def upscale_batch_denoise(
         (t, 1) + lr_p.shape[1:3] + (1,),
     )
     x4 = jnp.concatenate([lr_p[:, None].astype(state_dtype), noise], axis=-1)
-    den, new_state = bsvd.chunk_step(params["denoise"], state, x4, cfg=cfg)
+    den, new_state = bsvd.chunk_step(params["denoise"], state, x4, cfg=cfg, warm=warm)
     out = _denoise_postproc(sr_apply, params, den[:, 0], lr, lr_before, spec)
     return out, new_state
 

@@ -42,11 +42,21 @@ def main():
     pos = args.get("_pos", [])
 
     if "-vcodec" in args and args["-vcodec"] == "rawvideo" and pos and pos[-1] == "-":
-        # decode video
+        # decode video; FAKE_FFMPEG_FPS > 0 paces emission like a live
+        # source (used by tools/bench_e2e.py for sustained-rate runs)
+        import time
+
         w, h = map(int, args["-s"].split("x"))
         n = int(os.environ.get("FAKE_FFMPEG_FRAMES", "48"))
+        fps = float(os.environ.get("FAKE_FFMPEG_FPS", "0"))
+        t0 = time.monotonic()
         out = sys.stdout.buffer
         for i in range(n):
+            if fps > 0:
+                due = t0 + i / fps
+                delay = due - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
             out.write(bytes([i % 256]) * (w * h * 3))
         out.flush()
         return

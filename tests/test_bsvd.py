@@ -241,3 +241,25 @@ def test_chunk_step_bf16_production_dtype():
     diff = np.abs(np.asarray(ybf, np.float32) - np.asarray(y32))
     scale = np.abs(np.asarray(y32)).max() + 1.0
     assert float(diff.max()) / scale < 0.1
+
+
+def test_chunk_step_warm_matches_cold():
+    """warm=True (mask-free steady-state executable) is bit-identical to
+    warm=False once state['t'] >= 15 (chunk_step docstring)."""
+    import jax
+
+    params = bsvd.init_params(jax.random.PRNGKey(0), CFG)
+    T, H, W = 4, 8, 8
+    st = bsvd.init_chunk_state(1, H, W, CFG)
+    frames = jnp.asarray(
+        RNG.standard_normal((5 * T, 1, H, W, CFG.in_ch), dtype=np.float32)
+    )
+    for i in range(4):  # 16 frames in -> t == 16 >= 15
+        _, st = bsvd.chunk_step(params, st, frames[i * T : (i + 1) * T], cfg=CFG)
+    cold, st_cold = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG)
+    warm, st_warm = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG, warm=True)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_cold), jax.tree_util.tree_leaves(st_warm)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -62,3 +62,85 @@ def test_fsrcnn_beats_interpolation_on_real_image():
     psnr_naive = psnr(gt_y[..., None], bil_y)
     assert psnr_model > psnr_naive + 0.5, (psnr_model, psnr_naive)
     assert psnr_model > 24, psnr_model
+
+
+# ---- gated golden tests: activate once real weights are ingested ----
+# (no network egress on this host: see BASELINE.md "weights situation"
+# and tools/ingest_weights.py)
+
+WDIR = os.environ.get("SHARKSHARK_WEIGHT_DIR", os.path.join(
+    os.path.dirname(__file__), "..", "weights"))
+
+
+def _w(name):
+    return os.path.join(WDIR, name)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_w("realesr-general-x4v3.pth")),
+    reason="ingest realesr-general-x4v3.pth to enable (tools/ingest_weights.py)",
+)
+def test_srvgg_real_weights_beat_interpolation():
+    from PIL import Image
+
+    from sharkshark_tpu.models import srvgg
+    from sharkshark_tpu.train.metrics import compute_psnr as psnr
+
+    sd = torch_import.load_state_dict(_w("realesr-general-x4v3.pth"))
+    params = srvgg.from_torch(sd, srvgg.GENERAL_X4V3)
+    gt = np.asarray(Image.open(SAMPLE).convert("RGB"))[20:148, 360:552]
+    lr = np.asarray(jnp.clip(resize(
+        jnp.asarray(gt, jnp.float32)[None] / 255.0, (32, 48), "area"), 0, 1))
+    sr = np.asarray(jnp.clip(
+        srvgg.apply(params, jnp.asarray(lr), cfg=srvgg.GENERAL_X4V3)[0], 0, 1))
+    bil = np.asarray(jnp.clip(resize(jnp.asarray(lr)[0], (128, 192), "bilinear"), 0, 1))
+    p_sr = psnr((sr * 255).astype(np.uint8), gt, "rgb")
+    p_bil = psnr((bil * 255).astype(np.uint8), gt, "rgb")
+    assert p_sr > p_bil, (p_sr, p_bil)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_w("bsvd-32.pth")),
+    reason="ingest bsvd-32.pth to enable (tools/ingest_weights.py)",
+)
+def test_bsvd_real_weights_denoise_gain():
+    from PIL import Image
+
+    from sharkshark_tpu.models import bsvd
+
+    params = bsvd.from_torch(torch_import.load_state_dict(_w("bsvd-32.pth")))
+    gt = np.asarray(Image.open(SAMPLE).convert("RGB"))[:64, :96].astype(np.float32) / 255.0
+    rng = np.random.default_rng(0)
+    noisy = np.clip(gt + rng.normal(0, 0.1, gt.shape).astype(np.float32), 0, 1)
+    clip = np.repeat(noisy[None], 8, axis=0)[:, None]  # (T, N, H, W, 3)
+    noise_map = np.full(clip.shape[:-1] + (1,), 0.1, np.float32)
+    x4 = np.concatenate([clip, noise_map], axis=-1)
+    den = np.asarray(bsvd.denoise_clip(params, jnp.asarray(x4)))[4, 0]
+    mse_noisy = float(((noisy - gt) ** 2).mean())
+    mse_den = float(((np.clip(den, 0, 1) - gt) ** 2).mean())
+    assert mse_den < mse_noisy, (mse_den, mse_noisy)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_w("EGVSR_iter420000.pth")),
+    reason="ingest EGVSR_iter420000.pth to enable (tools/ingest_weights.py)",
+)
+def test_egvsr_real_weights_beat_interpolation():
+    from PIL import Image
+
+    from sharkshark_tpu.models import egvsr
+    from sharkshark_tpu.train.metrics import compute_psnr as psnr
+
+    params = egvsr.from_torch(torch_import.load_state_dict(_w("EGVSR_iter420000.pth")))
+    gt = np.asarray(Image.open(SAMPLE).convert("RGB"))[20:148, 360:552]
+    lr = np.asarray(jnp.clip(resize(
+        jnp.asarray(gt, jnp.float32)[None] / 255.0, (32, 48), "area"), 0, 1))
+    st = egvsr.init_recurrent_state(1, 32, 48)
+    sr = None
+    for _ in range(3):  # recurrence warm-up on a static scene
+        sr, st = egvsr.infer_step(params, st, jnp.asarray(lr), fast_warp=False)
+    sr = np.asarray(jnp.clip(sr[0], 0, 1))
+    bil = np.asarray(jnp.clip(resize(jnp.asarray(lr)[0], (128, 192), "bilinear"), 0, 1))
+    p_sr = psnr((sr * 255).astype(np.uint8), gt, "rgb")
+    p_bil = psnr((bil * 255).astype(np.uint8), gt, "rgb")
+    assert p_sr > p_bil, (p_sr, p_bil)

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""End-to-end sustained pipeline benchmark (VERDICT r1 item 5).
+
+Drives the FULL thread pipeline — paced fake-ffmpeg source -> Recoder ->
+EsrganUpscalerService (real TPU compute) -> Streamer file sink — for a
+sustained window and reports throughput fps, drop %, and TRUE
+capture->delivery latency percentiles, the like-for-like counterpart of
+the reference's "24 fps sustained, 0.5 % drop" claim
+(/root/reference/README.md:20).
+
+Usage:
+  python tools/bench_e2e.py [--seconds 60] [--fps 24] [--no-denoise]
+                            [--lr-level 3] [--json-out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import stat
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_fake_ffmpeg() -> str:
+    d = tempfile.mkdtemp(prefix="ss4bench")
+    path = os.path.join(d, "ffmpeg")
+    with open(path, "w") as f:
+        f.write(
+            "#!/bin/sh\nexec %s %s \"$@\"\n"
+            % (sys.executable, os.path.join(REPO, "tests", "fake_ffmpeg.py"))
+        )
+    os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+    return path
+
+
+def main() -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--fps", type=float, default=24.0)
+    ap.add_argument("--no-denoise", action="store_true")
+    ap.add_argument("--lr-level", type=int, default=3)
+    ap.add_argument("--hr-level", type=int, default=0)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    n_frames = int(args.seconds * args.fps)
+    os.environ["SHARKSHARK_FFMPEG"] = make_fake_ffmpeg()
+    os.environ["FAKE_FFMPEG_FRAMES"] = str(n_frames)
+    os.environ["FAKE_FFMPEG_FPS"] = str(args.fps)
+    os.environ.setdefault("FAKE_FFMPEG_SEGMENTS", "0")
+
+    from sharkshark_tpu.pipeline import UpscalePipeline
+    from sharkshark_tpu.upscale import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    sink = os.path.join(tempfile.mkdtemp(prefix="ss4out"), "out.raw")
+    pipe = UpscalePipeline(
+        url="/tmp/fake_video.mp4",
+        fps=args.fps,
+        frame_skips=True,
+        output_file=sink,
+        lr_level=args.lr_level,
+        hr_level=args.hr_level,
+        denoising=not args.no_denoise,
+        report_interval=10.0,
+    )
+
+    deliveries: list[tuple[float, int]] = []  # (wall time, n frames)
+    orig_cb = pipe.streamer_on_queue
+
+    def counting_cb(entry):
+        now = time.time()
+        if hasattr(entry, "frames") and getattr(entry, "frames", None) is not None:
+            deliveries.append((now, len(entry.frames)))
+        orig_cb(entry)
+
+    pipe.streamer.on_queue = counting_cb
+
+    # make a dummy source file for the grabber's existence checks
+    with open("/tmp/fake_video.mp4", "wb") as f:
+        f.write(b"\0" * 8192)
+
+    t0 = time.time()
+    pipe.start()
+    pipe.join(timeout=args.seconds * 4 + 600)
+    pipe.stop()
+    wall = time.time() - t0
+
+    import numpy as np
+
+    frames_out = sum(n for _, n in deliveries)
+    drop_pct = 100.0 * (1.0 - frames_out / max(n_frames, 1))
+    # steady-state window: the second half of deliveries, excluding the
+    # jit-compile lead-in that stalls the first batches
+    half = len(deliveries) // 2
+    tail = deliveries[half:]
+    if len(tail) >= 2 and tail[-1][0] > tail[0][0]:
+        tail_frames = sum(n for _, n in tail[1:])
+        fps_sustained = tail_frames / (tail[-1][0] - tail[0][0])
+    else:
+        fps_sustained = 0.0
+    lats = pipe._latencies[half:] or pipe._latencies or [0.0]
+    lats = np.asarray(lats)
+    result = {
+        "metric": "e2e_sustained_fps",
+        "source_fps": args.fps,
+        "seconds": args.seconds,
+        "denoise": not args.no_denoise,
+        "frames_in": n_frames,
+        "frames_out": frames_out,
+        "fps": round(fps_sustained, 2),
+        "drop_pct": round(drop_pct, 2),
+        "latency_p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
+        "latency_p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 1),
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(result), flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+if __name__ == "__main__":
+    main()
