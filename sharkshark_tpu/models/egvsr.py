@@ -63,7 +63,16 @@ def init_params(key: jax.Array, cfg: EGVSRConfig = DEFAULT) -> dict:
         "dec1": [_conv_init(next(ks), 3, 3, 128, 256), _conv_init(next(ks), 3, 3, 256, 256)],
         "dec2": [_conv_init(next(ks), 3, 3, 256, 128), _conv_init(next(ks), 3, 3, 128, 128)],
         "dec3": [_conv_init(next(ks), 3, 3, 128, 64), _conv_init(next(ks), 3, 3, 64, 64)],
-        "flow": [_conv_init(next(ks), 3, 3, 64, 32), _conv_init(next(ks), 3, 3, 32, 2)],
+        # final flow layer small-init: a fresh FNet predicts ~zero flow
+        # (standard for flow nets — large random flows destabilize the
+        # early recurrence AND push the banded warp kernel off its FAST
+        # window; trained flows on real video are small except at cuts)
+        "flow": [
+            _conv_init(next(ks), 3, 3, 64, 32),
+            jax.tree_util.tree_map(
+                lambda v: v * 1e-2, _conv_init(next(ks), 3, 3, 32, 2)
+            ),
+        ],
     }
     srnet = {
         "conv_in": _conv_init(next(ks), 3, 3, (cfg.scale**2 + 1) * c, cfg.nf),
@@ -173,10 +182,13 @@ def frnet_step(
     if pad_h or pad_w:
         flow = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
     hr_flow = jnp.asarray(float(s), flow.dtype) * resize(flow, (h * s, w * s), "bilinear")
-    # NOTE: a planar-warp-output + strided-conv_in fold was measured
-    # SLOWER than s2d+conv (17.3 vs 11.1 ms at 2160p: the 12x12/s4
-    # C_in=3 conv is MXU-hostile); srnet_apply_planar_warp stays as the
-    # documented negative result.
+    # NOTE: two s2d-avoidance reformulations are measured negatives:
+    # (a) planar-warp-output + strided-conv_in fold — 17.3 vs 11.1 ms at
+    # 2160p, the 12x12/s4 C_in=3 conv is MXU-hostile
+    # (experiments/planar_warp.py); (b) fusing s2d into the warp kernel's
+    # output tiles via one-hot permutation matmuls (warp_band s2d_out) —
+    # 165 vs 112.6 ms full-step at 720p, the 12 tiny per-tile matmuls
+    # cost more than XLA's relayout.  s2d + conv stays the fastest.
     warp = backward_warp_fast if fast_warp else backward_warp
     hr_warp = warp(hr_prev, hr_flow)
     return srnet_apply(params["srnet"], lr_curr, space_to_depth(hr_warp, s))

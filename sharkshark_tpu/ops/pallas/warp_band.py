@@ -120,9 +120,35 @@ def banded_warp_bases(
     return bx, by, okx[0] & oky[0], okx[1] & oky[1]
 
 
+def _s2d_perm(s: int, c: int) -> "np.ndarray":
+    """(s*c*TX, (TX//s)*s*s*c) one-hot permutation: row block (dy*c+ci)
+    lane l = s*xw+dx  ->  dest lane xw*(s*s*c) + (dy*s+dx)*c + ci.  A
+    one-hot bf16 matmul moves each value exactly (single-term sums), so
+    the in-kernel s2d relayout rides the MXU instead of unsupported
+    lane-split reshapes."""
+    import numpy as _np
+
+    rows = s * c * TX
+    cols = (TX // s) * s * s * c
+    p = _np.zeros((rows, cols), _np.float32)
+    for dy in range(s):
+        for ci in range(c):
+            for l in range(TX):
+                xw, dx = divmod(l, s)
+                src = (dy * c + ci) * TX + l
+                dst = xw * (s * s * c) + (dy * s + dx) * c + ci
+                p[src, dst] = 1.0
+    return p
+
+
 def _kernel(
-    bx_ref, by_ref, x_hbm, fx_ref, fy_ref, out_ref, buf, sems, *, ni, nj, c, rw, cw
+    bx_ref, by_ref, x_hbm, fx_ref, fy_ref, *rest, ni, nj, c, rw, cw,
+    s2d=0,
 ):
+    if s2d:
+        perm_ref, out_ref, buf, sems = rest
+    else:
+        (out_ref, buf, sems) = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     t = i * nj + j
@@ -173,15 +199,52 @@ def _kernel(
         - byc
     )
     ky = jax.lax.broadcasted_iota(jnp.int32, (rw, TX), 0).astype(jnp.float32)
+    if not s2d:
+        for ci in range(c):
+            rows = m[ci * rw : (ci + 1) * rw, :]
+            for jj in range(TY):
+                mv = rows[:, jj * TX : (jj + 1) * TX]
+                wv = jnp.maximum(0.0, 1.0 - jnp.abs(ky - yrel[jj, :][None, :]))
+                out_ref[ci, jj, :] = jnp.sum(wv * mv, axis=0)
+        return
+
+    # space-to-depth fused output: concatenate the (dy, ci) vectors per
+    # s2d row at 128-aligned lane offsets (legal) and let a one-hot
+    # permutation matmul interleave them into the standard
+    # (dy, dx, c) block-offset-major order (ops.space_to_depth)
+    vals = []
     for ci in range(c):
         rows = m[ci * rw : (ci + 1) * rw, :]
+        per_jj = []
         for jj in range(TY):
             mv = rows[:, jj * TX : (jj + 1) * TX]
             wv = jnp.maximum(0.0, 1.0 - jnp.abs(ky - yrel[jj, :][None, :]))
-            out_ref[ci, jj, :] = jnp.sum(wv * mv, axis=0)
+            per_jj.append(jnp.sum(wv * mv, axis=0))  # (TX,)
+        vals.append(per_jj)
+    s = s2d
+    # f32 one-hot matmuls at HIGHEST precision: move each f32 value
+    # exactly (single-term sums), identical to the non-s2d output path.
+    # One matmul per (dy, ci) source block: sublane-stacked (TY//s, TX)
+    # x its (TX, out_cols) permutation block (1-D lane concats are not
+    # lowerable, so the blocks are contracted separately and summed).
+    acc = None
+    for dy in range(s):
+        for ci in range(c):
+            k = dy * c + ci
+            vk = jnp.stack(
+                [vals[ci][s * dy2 + dy] for dy2 in range(TY // s)]
+            )  # (TY//s, TX)
+            part = jnp.dot(
+                vk, perm_ref[k * TX : (k + 1) * TX, :],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc = part if acc is None else acc + part
+    out_ref[0] = acc
 
 
-@partial(jax.jit, static_argnames=("window", "compute_dtype", "interpret", "planar_out"))
+@partial(jax.jit, static_argnames=(
+    "window", "compute_dtype", "interpret", "planar_out", "s2d_out"))
 def banded_backward_warp(
     x: jnp.ndarray,
     flow: jnp.ndarray,
@@ -192,6 +255,7 @@ def banded_backward_warp(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     planar_out: bool = False,
+    s2d_out: int = 0,
 ) -> jnp.ndarray:
     """Warp x (1, H, W, C) backward along flow (1, H, W, 2), equivalent to
     ops.warp.backward_warp, given per-tile window bases (bx, by) from
@@ -199,10 +263,17 @@ def banded_backward_warp(
     this window variant; callers guard with lax.switch/cond.
     compute_dtype=float32 matches the gather path to ~1e-6; bfloat16 is
     the fast inference mode.  planar_out returns (1, C, H, W) — the
-    kernel's native layout, consumed directly by NCHW convs (EGVSR's
-    fused space_to_depth conv_in) with zero transposes."""
+    kernel's native layout.  s2d_out=s returns
+    space_to_depth(warp(x), s) as (1, H//s, W//s, s*s*C) with the
+    relayout done per-tile via one-hot permutation matmuls.  MEASURED
+    NEGATIVE for the EGVSR hot path (165 vs 112.6 ms full-step at 720p —
+    the 12 tiny per-tile matmuls cost more than XLA's 16 ms relayout);
+    kept because it is exact, tested, and the right building block if a
+    future fused warp+conv_in kernel amortizes the permutation."""
     n, h, w, c = x.shape
     assert banded_warp_supported(x.shape), x.shape
+    if s2d_out:
+        assert planar_out is False and TY % s2d_out == 0 and TX % s2d_out == 0
     rw, cw = window
     ni, nj = h // TY, w // TX
 
@@ -217,25 +288,51 @@ def banded_backward_warp(
     fx = flow[0, :, :, 0].astype(jnp.float32)
     fy = flow[0, :, :, 1].astype(jnp.float32)
 
+    s = s2d_out
+    if s:
+        # (tile-row, s2d-row-in-tile, flat cols): the middle block dim
+        # equals the array dim (TPU block rule), last dim is 128-aligned
+        out_specs = pl.BlockSpec(
+            (1, TY // s, (TX // s) * s * s * c),
+            lambda i, j: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (ni, TY // s, (w // s) * s * s * c), jnp.float32
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (c, TY, TX), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((c, h, w), jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [bx, by, xp, fx, fy]
+    if s:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(_s2d_perm(s, c)))
+
     out = pl.pallas_call(
-        partial(_kernel, ni=ni, nj=nj, c=c, rw=rw, cw=cw),
+        partial(_kernel, ni=ni, nj=nj, c=c, rw=rw, cw=cw, s2d=s),
         grid=(ni, nj),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((c, TY, TX), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, c, rw, cw), compute_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(bx, by, xp, fx, fy)
+    )(*operands)
 
+    if s:
+        return out.reshape(1, h // s, w // s, s * s * c).astype(x.dtype)  # noqa: E501 — (ni, TY//s, flat) is contiguous in exactly this order
     if planar_out:
         return out[None].astype(x.dtype)
     return out.transpose(1, 2, 0)[None].astype(x.dtype)

@@ -107,13 +107,17 @@ def backward_warp_fast(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     planar_out: bool = False,
+    s2d_out: int = 0,
 ) -> jnp.ndarray:
     """backward_warp with the banded Pallas kernel on the hot path.
 
     Exact-fallback contract: frames whose flow is too rough for the
     kernel's static band (or shapes the kernel does not tile) take the
     gather path, so the result always equals backward_warp up to
-    compute_dtype rounding inside the kernel."""
+    compute_dtype rounding inside the kernel.  s2d_out=s returns
+    space_to_depth(result, s) with the relayout fused into the kernel's
+    output tiles (EGVSR recurrence path)."""
+    from .nn import space_to_depth
     from .pallas.warp_band import (
         WINDOW_FAST,
         WINDOW_FULL,
@@ -124,6 +128,8 @@ def backward_warp_fast(
 
     def gather():
         y = backward_warp(x, flow)
+        if s2d_out:
+            return space_to_depth(y, s2d_out)
         return y.transpose(0, 3, 1, 2) if planar_out else y
 
     on_tpu = jax.default_backend() == "tpu"
@@ -136,7 +142,7 @@ def backward_warp_fast(
         return lambda: banded_backward_warp(
             x, flow, bx, by, window=window,
             compute_dtype=compute_dtype, interpret=interpret,
-            planar_out=planar_out,
+            planar_out=planar_out, s2d_out=s2d_out,
         )
 
     idx = jnp.where(ok_fast, 0, jnp.where(ok_full, 1, 2))

@@ -116,3 +116,23 @@ def test_out_of_bound_flow_falls_back_to_gather():
     got = backward_warp_fast(x, flow, interpret=True)
     ref = backward_warp(x, flow)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_banded_warp_s2d_out_matches_xla_s2d():
+    """s2d_out fusion == space_to_depth(warp) exactly (interpret mode)."""
+    import jax.numpy as jnp
+
+    from sharkshark_tpu.ops import space_to_depth
+    from sharkshark_tpu.ops.warp import backward_warp_fast
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, 16, 256, 3)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, 16, 256, 2)) * 2, jnp.float32)
+
+    want = space_to_depth(
+        backward_warp_fast(x, flow, compute_dtype=jnp.float32, interpret=True), 4
+    )
+    got = backward_warp_fast(
+        x, flow, compute_dtype=jnp.float32, interpret=True, s2d_out=4
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
