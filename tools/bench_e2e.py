@@ -88,6 +88,37 @@ def main() -> dict:
     with open("/tmp/fake_video.mp4", "wb") as f:
         f.write(b"\0" * 8192)
 
+    # pre-warm: build the model and compile the jitted step BEFORE the
+    # paced source starts (proc_init is idempotent; the worker thread
+    # will reuse it) — otherwise the multi-minute first compile runs
+    # inside the measurement and drops most of the stream
+    import numpy as _np
+
+    t_warm = time.time()
+    pipe.upscaler.proc_init()
+    h, w = pipe.upscaler.lr_shape
+    dummy = _np.zeros((pipe.upscaler.batch_size, h, w, 3), _np.uint8)
+    for _ in range(2 + (0 if args.no_denoise else 5)):
+        pipe.upscaler.upscale(dummy)
+    if not args.no_denoise:
+        # reset stream state/counters mutated by the warmup batches
+        from sharkshark_tpu.upscale import init_denoise_state
+        from sharkshark_tpu.upscale.steps import UpscaleSpec as _US
+
+        pipe.upscaler._den_state = pipe.upscaler._place(
+            init_denoise_state(
+                1,
+                _US(lr_shape=pipe.upscaler.lr_shape,
+                    output_shape=pipe.upscaler.output_shape,
+                    compute_dtype=pipe.upscaler.compute_dtype),
+                pipe.upscaler.bsvd_cfg,
+            )
+        )
+        pipe.upscaler._frames_seen = 0
+        pipe.upscaler._tail_frames = []
+        pipe.upscaler._tail_real = []
+    print(json.dumps({"warmup_s": round(time.time() - t_warm, 1)}), flush=True)
+
     t0 = time.time()
     pipe.start()
     pipe.join(timeout=args.seconds * 4 + 600)
