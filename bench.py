@@ -135,19 +135,22 @@ def main() -> None:
     e2e_s = float(os.environ.get("SHARKSHARK_BENCH_E2E_SECONDS", "60"))
 
     fps = device_step_bench(window)
+    headline = json.dumps(
+        {
+            "metric": "upscale_720p_to_1440p_fps",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+        }
+    )
+    # emit the headline immediately (the e2e pass re-compiles through the
+    # remote tunnel and can take many minutes; if the harness kills the
+    # run mid-e2e the headline is already on stdout), then again last so
+    # a tail parse also lands on it
+    print(headline, flush=True)
     if e2e_s > 0:
         e2e_bench(e2e_s)
-
-    print(
-        json.dumps(
-            {
-                "metric": "upscale_720p_to_1440p_fps",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
-    )
+    print(headline)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,20 @@ def main() -> dict:
         pipe.upscaler._tail_real = []
     print(json.dumps({"warmup_s": round(time.time() - t_warm, 1)}), flush=True)
 
+    # host<->device link rate: the e2e number is only meaningful relative
+    # to it — a 24 fps 1440p stream needs ~265 MB/s D2H (44 MB per
+    # 4-frame uint8 batch), which a TPU-VM PCIe link has and a tunneled
+    # dev chip may not
+    import jax
+    import jax.numpy as jnp
+
+    oh, ow = pipe.upscaler.output_shape
+    dev = jnp.zeros((pipe.upscaler.batch_size, oh, ow, 3), jnp.uint8)
+    jax.block_until_ready(dev)
+    t_l = time.time()
+    _np.asarray(dev)
+    d2h_mbps = dev.size / max(time.time() - t_l, 1e-9) / 1e6
+
     t0 = time.time()
     pipe.start()
     pipe.join(timeout=args.seconds * 4 + 600)
@@ -152,6 +166,10 @@ def main() -> dict:
         "latency_p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
         "latency_p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 1),
         "wall_s": round(wall, 1),
+        # sustained fps ceiling this host link allows, independent of
+        # device compute: D2H bytes per frame at the measured link rate
+        "d2h_MBps": round(d2h_mbps, 1),
+        "link_fps_ceiling": round(d2h_mbps * 1e6 / (oh * ow * 3), 2),
     }
     print(json.dumps(result), flush=True)
     if args.json_out:
