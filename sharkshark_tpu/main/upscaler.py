@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights-wdn", default=None,
                    help="denoise-variant .pth for DNI blending")
     p.add_argument("--denoise-weights", default=None, help="BSVD .pth path")
+    p.add_argument("--pix-fmt", default="rgb24", choices=["rgb24", "yuv420p"],
+                   help="encoder feed format; yuv420p = device-side "
+                        "colorspace conversion (half the device->host "
+                        "bytes, no host swscale stage)")
     p.add_argument("--reconnects", type=int, default=0,
                    help="rebuild the stream source up to N times on EOF")
     return p
@@ -65,6 +69,7 @@ def main(argv=None) -> None:
             lr_level=args.lr_level,
             output_shape=HR_LEVELS[args.hr_level],
             weights=args.weights,
+            pix_fmt=args.pix_fmt,
         )
     else:
         kwargs.update(
@@ -96,6 +101,7 @@ def main(argv=None) -> None:
         hr_level=args.hr_level,
         denoising=not args.no_denoise,
         denoise_rate=args.denoise_rate,
+        pix_fmt=args.pix_fmt,
         audio_skip=args.audio_queue,
         **kwargs,
     )

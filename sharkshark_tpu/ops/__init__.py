@@ -20,6 +20,7 @@ from .color import (
     local_color_match,
     to_float,
     to_uint8,
+    to_yuv420,
 )
 from .warp import backward_warp, backward_warp_ac0, backward_warp_fast, grid_sample_bilinear
 
@@ -28,6 +29,6 @@ __all__ = [
     "relu6", "pixel_shuffle", "pixel_shuffle_mxu", "space_to_depth", "pad2d",
     "resize", "resize_nchw",
     "gaussian_kernel_2d", "sharpen_kernel_2d", "blur", "sharpen",
-    "global_color_match", "local_color_match", "to_float", "to_uint8",
+    "global_color_match", "local_color_match", "to_float", "to_uint8", "to_yuv420",
     "backward_warp", "backward_warp_ac0", "backward_warp_fast", "grid_sample_bilinear",
 ]

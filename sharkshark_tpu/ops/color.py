@@ -123,3 +123,37 @@ def to_uint8(x: jnp.ndarray) -> jnp.ndarray:
     `.to(torch.uint8)` cast after `*255`."""
     x = jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * 255.0
     return x.astype(jnp.uint8)
+
+
+def to_yuv420(x: jnp.ndarray) -> jnp.ndarray:
+    """float RGB [0,1] (N, H, W, 3) -> planar yuv420p uint8 (N, H*3//2, W).
+
+    Device-side colorspace conversion + 2x2 chroma subsampling for the
+    encoder feed: emitting yuv420p instead of rgb24 halves the
+    device->host bytes per frame (1.5 vs 3 B/px) AND removes ffmpeg's
+    swscale rgb24->yuv420p stage from the host CPU — the TPU-first
+    replacement for the reference piping rgb24 into ffmpeg
+    (output_stream.py:115-191).  BT.601 limited range, the same default
+    swscale applies for yuv420p H.264.
+
+    Layout per frame: rows [0, H) = Y plane; rows [H, H+H//4) = U plane
+    ((H/2, W/2) raveled W-wide); rows [H+H//4, H*3//2) = V plane.
+    Requires H % 4 == 0 and W % 2 == 0 (every ladder entry qualifies).
+    """
+    n, h, w, _ = x.shape
+    assert h % 4 == 0 and w % 2 == 0, (h, w)
+    rgb = jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 16.0 + 65.481 * r + 128.553 * g + 24.966 * b
+    # chroma on the 2x2-average of RGB (swscale's default down-filter)
+    rgb2 = rgb.reshape(n, h // 2, 2, w // 2, 2, 3).mean(axis=(2, 4))
+    r2, g2, b2 = rgb2[..., 0], rgb2[..., 1], rgb2[..., 2]
+    u = 128.0 - 37.797 * r2 - 74.203 * g2 + 112.0 * b2
+    v = 128.0 + 112.0 * r2 - 93.786 * g2 - 18.214 * b2
+
+    def q(p):
+        return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
+
+    return jnp.concatenate(
+        [q(y), q(u).reshape(n, h // 4, w), q(v).reshape(n, h // 4, w)], axis=1
+    )

@@ -44,6 +44,7 @@ class UpscalePipeline:
         hr_level: int = 0,
         denoising: bool = True,
         denoise_rate: float = 1.0,
+        pix_fmt: str = "rgb24",
         audio_skip: int = 0,
         report_interval: float = 3.0,
         recoder: Recoder | None = None,
@@ -64,6 +65,7 @@ class UpscalePipeline:
             denoise_rate=denoise_rate,
             batch_size=self.small_batch_size,
             output_shape=HR_LEVELS[hr_level],
+            pix_fmt=pix_fmt,
             **upscaler_kwargs,
         )
         self.upscaler.on_queue = self.upscaler_on_queue
@@ -87,6 +89,7 @@ class UpscalePipeline:
             fps=fps,
             output_file=output_file,
             on_queue=self.streamer_on_queue,
+            pix_fmt=pix_fmt,
         )
         self.streamer.on_queue = self.streamer_on_queue
 

@@ -91,9 +91,12 @@ def encode_cmd(
     crf: int = 21,
     preset: str = "veryfast",
     binary: str | None = None,
+    pix_fmt: str = "rgb24",
 ) -> list[str]:
     """H.264 FLV encode (reference output_stream.py:115-191, libx264 for
-    NVENC; cq 21 -> crf 21, GOP 2 s, aac audio kept)."""
+    NVENC; cq 21 -> crf 21, GOP 2 s, aac audio kept).  pix_fmt='yuv420p'
+    takes device-converted planar frames (ops.to_yuv420): half the raw
+    bytes and no swscale colorspace stage on the host."""
     cmd = [
         binary or ffmpeg_binary(),
         "-loglevel", "error",
@@ -103,7 +106,7 @@ def encode_cmd(
         "-r", f"{fps}",
         "-vcodec", "rawvideo",
         "-s", f"{width}x{height}",
-        "-pix_fmt", "rgb24",
+        "-pix_fmt", pix_fmt,
         "-thread_queue_size", "4096",
         "-i", "-",
     ]
@@ -250,9 +253,14 @@ class RawStreamSink:
         crf: int = 21,
         preset: str = "veryfast",
         binary: str | None = None,
+        pix_fmt: str = "rgb24",
     ) -> None:
         self.dest = dest
         self.width, self.height, self.fps = width, height, fps
+        self.pix_fmt = pix_fmt
+        self._frame_shape = (
+            (height, width, 3) if pix_fmt == "rgb24" else (height * 3 // 2, width)
+        )
         self.enable_audio = enable_audio
         self._audio_fifo_path: str | None = None
         self._audio_fd: int | None = None
@@ -262,7 +270,7 @@ class RawStreamSink:
             os.mkfifo(self._audio_fifo_path)
         self.cmd = encode_cmd(
             dest, width, height, fps, self._audio_fifo_path,
-            crf=crf, preset=preset, binary=binary,
+            crf=crf, preset=preset, binary=binary, pix_fmt=pix_fmt,
         )
         self.proc = subprocess.Popen(
             self.cmd,
@@ -280,9 +288,10 @@ class RawStreamSink:
             )
 
     def send_video_frame(self, frame: np.ndarray) -> None:
-        """frame: (H, W, 3) uint8 (float [0,1] accepted and converted)."""
+        """frame: (H, W, 3) rgb24 or (H*3/2, W) yuv420p uint8 (float [0,1]
+        accepted and converted)."""
         self.check_proc()
-        assert frame.shape == (self.height, self.width, 3), frame.shape
+        assert frame.shape == self._frame_shape, (frame.shape, self._frame_shape)
         if frame.dtype != np.uint8:
             frame = np.clip(255 * frame, 0, 255).astype(np.uint8)
         with self._lock:

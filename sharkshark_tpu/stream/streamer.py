@@ -32,7 +32,8 @@ class StreamerEntry:
     captured_at: float = 0.0  # wall-clock when source frames were captured
 
 
-def _overlay_status(frame: np.ndarray, processed: int, skipped: int) -> np.ndarray:
+def _overlay_status(frame: np.ndarray, processed: int, skipped: int,
+                    color=(0, 255, 0)) -> np.ndarray:
     import cv2
 
     pct = skipped / (processed + 1e-8) * 100
@@ -50,7 +51,7 @@ def _overlay_status(frame: np.ndarray, processed: int, skipped: int) -> np.ndarr
         (10, 32),
         cv2.FONT_HERSHEY_PLAIN,
         1.0,
-        (0, 255, 0),
+        color,
         2,
     )
 
@@ -67,9 +68,11 @@ class Streamer(BaseService):
         overlay: bool = True,
         enable_audio: bool = True,
         realtime: bool | None = None,
+        pix_fmt: str = "rgb24",
         **sink_kwargs,
     ) -> None:
         super().__init__(name="Streamer")
+        self.pix_fmt = pix_fmt
         self.resolution = resolution
         self.fps = fps
         self.output_file = output_file
@@ -103,6 +106,7 @@ class Streamer(BaseService):
                 fps=self.fps,
                 enable_audio=self.enable_audio,
                 realtime=realtime,
+                pix_fmt=self.pix_fmt,
                 **self._sink_kwargs,
             )
 
@@ -110,6 +114,10 @@ class Streamer(BaseService):
         """Host-side fallback resize when the upscaler's output shape does
         not match the stream (reference streamer.py:85-90). Normally a
         no-op — the jitted step already resizes to output_shape."""
+        if self.pix_fmt != "rgb24":
+            # device-converted planar output (yuv420p): the jitted step
+            # already emits the exact stream resolution
+            return frames
         if frames.shape[1:] == (*self.resolution, 3):
             return frames
         import cv2
@@ -152,7 +160,9 @@ class Streamer(BaseService):
             if self.overlay:
                 job.profiler.start("streamer.send.queue.txt")
                 skipped = max(job.step * n - self.frame_count + i, 0)
-                frame = _overlay_status(frame, self.frame_count, skipped)
+                # yuv420p frames are planar 2-D: draw luma-only text
+                color = (0, 255, 0) if self.pix_fmt == "rgb24" else 235
+                frame = _overlay_status(frame, self.frame_count, skipped, color)
                 job.profiler.end("streamer.send.queue.txt")
 
             job.profiler.start("streamer.send.queue.video")

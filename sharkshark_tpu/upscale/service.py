@@ -132,8 +132,10 @@ class EsrganUpscalerService(BaseUpscalerService):
         bsvd_cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
         fast_epilogue: bool = True,
         device: int | None = None,
+        pix_fmt: str = "rgb24",
     ) -> None:
         super().__init__(name="EsrganUpscaler")
+        self.pix_fmt = pix_fmt
         self.lr_shape = LR_LEVELS[lr_level]
         self.scale = 4
         self.output_shape = output_shape
@@ -175,6 +177,7 @@ class EsrganUpscalerService(BaseUpscalerService):
             lr_hr_resize=self.lr_hr_resize,
             denoise_rate=self.denoise_rate,
             compute_dtype=self.compute_dtype,
+            pix_fmt=self.pix_fmt,
         )
         self.spec = spec
         cfg = self.srvgg_cfg
@@ -390,8 +393,10 @@ class EgvsrUpscalerService(BaseUpscalerService):
         weights: str | None = None,
         compute_dtype=jnp.bfloat16,
         cfg: egvsr.EGVSRConfig = egvsr.DEFAULT,
+        pix_fmt: str = "rgb24",
     ) -> None:
         super().__init__(name="EgvsrUpscaler")
+        self.pix_fmt = pix_fmt
         self.lr_shape = LR_LEVELS[lr_level]
         self.output_shape = output_shape
         self.on_queue = on_queue
@@ -412,6 +417,7 @@ class EgvsrUpscalerService(BaseUpscalerService):
             lr_shape=self.lr_shape,
             output_shape=self.output_shape,
             compute_dtype=self.compute_dtype,
+            pix_fmt=self.pix_fmt,
         )
         self.spec = spec
         h, w = self.lr_shape

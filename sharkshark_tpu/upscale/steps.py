@@ -35,7 +35,15 @@ from ..ops import (
     sharpen,
     to_float,
     to_uint8,
+    to_yuv420,
 )
+
+
+def _emit(hr: jnp.ndarray, spec: "UpscaleSpec") -> jnp.ndarray:
+    """Final uint8 emission in the spec's output pixel format."""
+    if spec.pix_fmt == "yuv420p":
+        return to_yuv420(hr)
+    return to_uint8(hr)
 
 __all__ = [
     "UpscaleSpec",
@@ -57,6 +65,9 @@ class UpscaleSpec(NamedTuple):
     denoise_rate: float = 1.0
     denoise_opacity: float = 0.8                  # fsrcnn_upscaler.py:273
     compute_dtype: Any = jnp.bfloat16             # reference: fp16 TRT + amp
+    pix_fmt: str = "rgb24"                        # 'yuv420p': device-side
+    # colorspace conversion + 2x2 chroma subsample — half the D2H bytes
+    # and no host swscale stage (ops.to_yuv420)
 
 
 def _resize_to_output(hr: jnp.ndarray, spec: UpscaleSpec) -> jnp.ndarray:
@@ -101,7 +112,7 @@ def upscale_multi(
 
     if spec.lr_hr_resize:
         hr = _resize_to_output(hr, spec)
-    return to_uint8(hr)
+    return _emit(hr, spec)
 
 
 def _ceil4(v: int) -> int:
@@ -191,7 +202,7 @@ def upscale_single_denoise(
     hr = global_color_match(hr, lr_before)
     hr = jnp.clip(hr, 0.0, 1.0)
     hr = _resize_to_output(hr, spec)
-    return to_uint8(hr), new_state
+    return _emit(hr, spec), new_state
 
 
 def upscale_batch_denoise(
@@ -248,7 +259,7 @@ def _denoise_postproc(sr_apply, params, den, lr, lr_before, spec: UpscaleSpec):
     hr = global_color_match(hr, lr_before)
     hr = jnp.clip(hr, 0.0, 1.0)
     hr = _resize_to_output(hr, spec)
-    return to_uint8(hr)
+    return _emit(hr, spec)
 
 
 def flush_batch_denoise(
@@ -312,4 +323,4 @@ def egvsr_upscale_step(
     hr, new_state = egvsr.infer_step(params, state, lr.astype(spec.compute_dtype))
     hr = jnp.clip(hr.astype(jnp.float32), 0.0, 1.0)
     hr = _resize_to_output(hr, spec)
-    return to_uint8(hr), new_state
+    return _emit(hr, spec), new_state

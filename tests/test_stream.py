@@ -84,6 +84,8 @@ def test_encode_sink_receives_frames_in_order(tmp_path):
     cmd = _fake_binary_cmd(encode_cmd(dest, 64, 36, 24, audio_fifo=None))
     sink = RawStreamSink.__new__(RawStreamSink)
     sink.dest, sink.width, sink.height, sink.fps = dest, 64, 36, 24
+    sink.pix_fmt = "rgb24"
+    sink._frame_shape = (36, 64, 3)
     sink.enable_audio = False
     sink._audio_fifo_path = None
     sink._audio_fd = None
