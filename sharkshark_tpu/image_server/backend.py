@@ -33,6 +33,11 @@ __all__ = ["ImageBackend", "create_app"]
 log = get_logger("image_server.backend")
 
 MAX_PIXELS = 4096 * 2048  # reference :264
+# pad request images up to multiples of this so the per-shape executable
+# count stays bounded (XLA jit per shape == reference's per-shape TRT
+# engines); 64 keeps the worst-case padding overhead < 2x at tiny sizes
+# and ~5 % at typical web-image sizes
+SHAPE_BUCKET = 64
 FORBIDDEN = ("..", "/", "~", "$", "%")
 
 
@@ -172,6 +177,18 @@ class ImageBackend:
                 img, None, fx=pre_scale, fy=pre_scale, interpolation=cv2.INTER_AREA
             )
 
+        # shape bucketing: every distinct (H, W) jit-compiles its own
+        # executable (the reference pays the same per-shape TRT engine
+        # build, factory.py:214-227) — an open image service sees
+        # arbitrary sizes, which compile-storms under load.  Edge-pad up
+        # to the next SHAPE_BUCKET multiple so the executable count is
+        # bounded, and crop the 4x output back after.
+        bh, bw = img.shape[:2]
+        ph = -bh % SHAPE_BUCKET
+        pw = -bw % SHAPE_BUCKET
+        if ph or pw:
+            img = cv2.copyMakeBorder(img, 0, ph, 0, pw, cv2.BORDER_REPLICATE)
+
         event = threading.Event()
         slot: list = []
         with self._pending_lock:
@@ -205,6 +222,9 @@ class ImageBackend:
 
         profiler.start("endpoint.write")
         frame = np.asarray(entry.frames)[0]
+        if ph or pw:
+            scale = frame.shape[0] // img.shape[0]
+            frame = frame[: bh * scale, : bw * scale]
         if post_scale < 1.0:
             frame = cv2.resize(
                 frame, None, fx=post_scale, fy=post_scale,

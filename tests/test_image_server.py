@@ -290,3 +290,32 @@ def test_multihost_frontends_share_redis_cache(backend_server):
     finally:
         ha.shutdown()
         hb.shutdown()
+
+
+def test_shape_bucketing_bounds_executables(backend_server):
+    """Different request sizes inside one SHAPE_BUCKET land on the same
+    device shape (bounded executable count) and the output crops back to
+    exactly 4x the original size."""
+    base, backend = backend_server
+    seen = set()
+    orig = backend._upscaler.push_job
+
+    def spy(entry, *a, **k):
+        seen.add(tuple(np.asarray(entry.frames).shape))
+        return orig(entry, *a, **k)
+
+    backend._upscaler.push_job = spy
+    try:
+        sizes = [(24, 32), (30, 40), (17, 50)]
+        for h, w in sizes:
+            r = httpx.post(
+                f"{base}/upscale/image",
+                content=_png_bytes(h, w, value=90),
+                timeout=60,
+            )
+            assert r.status_code == 200
+            img = Image.open(io.BytesIO(r.content))
+            assert img.size == (w * 4, h * 4), (img.size, (w, h))
+    finally:
+        backend._upscaler.push_job = orig
+    assert len(seen) == 1 and seen.pop()[1:3] == (64, 64), seen
