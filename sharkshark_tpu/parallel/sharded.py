@@ -11,7 +11,6 @@ recipe — no hand-written NCCL analogue.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -21,7 +21,6 @@ see jit_cache.ShapeCache.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

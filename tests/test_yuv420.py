@@ -92,7 +92,6 @@ def test_streamer_sink_yuv420_roundtrip(tmp_path):
     """Streamer in yuv420p mode writes H*3/2*W bytes per frame through the
     encode sink (fake ffmpeg copies raw stdin to the dest file)."""
     import os
-    import subprocess
     import sys
 
     from sharkshark_tpu.stream.ffmpeg_io import RawStreamSink
