@@ -135,3 +135,39 @@ def test_denoise_flush_drains_lookahead_at_eof(batch_size):
     svc2 = EsrganUpscalerService(lr_level=0, denoising=False, output_shape=(48, 80))
     svc2.proc_init()
     assert list(svc2.proc_eof()) == []
+
+
+def test_denoise_service_warm_switch_matches_cold():
+    """After SHIFT_NUM frames the service switches to the mask-free warm
+    executable (upscale/service.py); the emitted frames must be identical
+    to a service forced to stay on the cold executable."""
+    from sharkshark_tpu.models import bsvd as bsvd_mod
+
+    def make():
+        svc = EsrganUpscalerService(
+            lr_level=0,
+            denoising=True,
+            batch_size=4,
+            output_shape=(72, 128),
+            compute_dtype=jnp.float32,
+            srvgg_cfg=TINY_SRVGG,
+            bsvd_cfg=TINY_BSVD,
+            fast_epilogue=False,
+        )
+        svc.lr_shape = (36, 64)
+        svc.proc_init()
+        return svc
+
+    warm_svc = make()
+    cold_svc = make()
+    # force the cold service to never take the warm path
+    cold_svc._batch_denoise_step_warm = cold_svc._batch_denoise_step
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (6 * 4, 36, 64, 3), np.uint8)
+    for i in range(6):  # crosses SHIFT_NUM=16 at chunk 4
+        batch = frames[i * 4 : (i + 1) * 4]
+        a = warm_svc.upscale(batch)
+        b = cold_svc.upscale(batch)
+        np.testing.assert_array_equal(a, b)
+    assert warm_svc._frames_seen > bsvd_mod.SHIFT_NUM
