@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import conv2d, pixel_shuffle, relu6
+from ..ops import conv2d, conv2d_pairfold, pixel_shuffle, relu6
 from .torch_import import conv_from_torch, subdict
 
 
@@ -382,7 +382,21 @@ def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
 
 def _conv_batched(p, x, act=None, stride=1):
     t, n, h, w, c = x.shape
-    y = conv2d(x.reshape(t * n, h, w, c), **p, stride=stride, padding=1)
+    xb = x.reshape(t * n, h, w, c)
+    wt = p["w"]
+    # narrow full-res convs (inc1/outc0, C<=32) run W-pair-folded: exact,
+    # 2x MACs at 2x the MXU channel width — measured ~1.4x faster at 720p
+    # on v5e (BASELINE.md round 2; ops.conv2d_pairfold)
+    if (
+        stride == 1
+        and wt.shape[:2] == (3, 3)
+        and 8 < wt.shape[2] <= 32
+        and wt.shape[3] <= 32
+        and w % 2 == 0
+    ):
+        y = conv2d_pairfold(xb, wt, p.get("b"))
+    else:
+        y = conv2d(xb, **p, stride=stride, padding=1)
     if act is not None:
         y = _act(y, act)
     return y.reshape(t, n, *y.shape[1:])

@@ -1,5 +1,7 @@
 from .nn import (
     conv2d,
+    conv2d_pairfold,
+    pairfold_conv_weights,
     conv_transpose2d,
     depthwise_conv2d,
     prelu,
@@ -25,7 +27,7 @@ from .color import (
 from .warp import backward_warp, backward_warp_ac0, backward_warp_fast, grid_sample_bilinear
 
 __all__ = [
-    "conv2d", "conv_transpose2d", "depthwise_conv2d", "prelu", "leaky_relu",
+    "conv2d", "conv2d_pairfold", "pairfold_conv_weights", "conv_transpose2d", "depthwise_conv2d", "prelu", "leaky_relu",
     "relu6", "pixel_shuffle", "pixel_shuffle_mxu", "space_to_depth", "pad2d",
     "resize", "resize_nchw",
     "gaussian_kernel_2d", "sharpen_kernel_2d", "blur", "sharpen",

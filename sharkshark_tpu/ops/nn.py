@@ -177,3 +177,55 @@ def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     x = x.reshape(n, h // r, r, w // r, r, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h', w', dy, dx, c
     return x.reshape(n, h // r, w // r, r * r * c)
+
+
+def pairfold_conv_weights(w: jnp.ndarray, ci_pad: int = 32) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> (3, 3, 2*ci_pad, 2*ci_pad_out) block weights for
+    conv2d_pairfold: two adjacent W pixels become one doubled-channel
+    pixel, and the 3x3 conv becomes a 3x3 conv over pair-pixels whose
+    kernel-width taps are pair shifts z with block (u, v) = w[:, d+1]
+    where d = 2z + u - v (zero outside |d| <= 1).  MAC count doubles but
+    the conv runs at 2x the channel width — measured net ~1.8x on the
+    dev chip for C=32 at 720p (BASELINE.md: C=32 runs at 13 TFLOP/s vs
+    C=64 at 46.6)."""
+    kh, kw, ci, co = w.shape
+    co_pad = ci_pad if co <= ci_pad else co
+    wp = jnp.zeros((kh, 3, 2 * ci_pad, 2 * co_pad), w.dtype)
+    for z in (-1, 0, 1):
+        for u in range(2):
+            for v in range(2):
+                d = 2 * z + u - v
+                if -1 <= d <= 1:
+                    wp = wp.at[
+                        :, z + 1,
+                        u * ci_pad : u * ci_pad + ci,
+                        v * co_pad : v * co_pad + co,
+                    ].set(w[:, d + 1])
+    return wp
+
+
+def conv2d_pairfold(
+    x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+    *, ci_pad: int = 32,
+) -> jnp.ndarray:
+    """Exact 3x3 SAME conv for narrow channel counts via W-pair folding.
+
+    x: (N, H, W, Ci) with W even; w: (3, 3, Ci, Co) with Ci, Co <= ci_pad.
+    Equivalent to conv2d(x, w, b, padding=1); the folded form keeps the
+    MXU at 2*ci_pad output lanes instead of Co."""
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+    xp = x
+    if ci < ci_pad:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, ci_pad - ci)))
+    xp = xp.reshape(n, h, wd // 2, 2 * ci_pad)
+    wp = pairfold_conv_weights(w, ci_pad).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xp, wp, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    co_pad = wp.shape[-1] // 2
+    y = y.reshape(n, h, wd, co_pad)[..., :co]
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
