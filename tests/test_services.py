@@ -171,3 +171,24 @@ def test_denoise_service_warm_switch_matches_cold():
         b = cold_svc.upscale(batch)
         np.testing.assert_array_equal(a, b)
     assert warm_svc._frames_seen > bsvd_mod.SHIFT_NUM
+
+
+@pytest.mark.parametrize("out_shape", [(72, 128), (90, 160), (108, 192), (144, 256)])
+def test_hr_ladder_output_shapes(out_shape):
+    """All hr-ladder ratios of the 4x model output (2, 8/5, 4/3, 1 — the
+    720p->1440/1800/2160p analogues at test scale) produce the exact
+    output shape, with or without a fused-epilogue ratio."""
+    svc = EsrganUpscalerService(
+        lr_level=0,
+        denoising=False,
+        batch_size=2,
+        output_shape=out_shape,
+        compute_dtype=jnp.float32,
+        srvgg_cfg=TINY_SRVGG,
+        fast_epilogue=True,
+    )
+    svc.lr_shape = (36, 64)
+    svc.proc_init()
+    frames = np.random.RandomState(3).randint(0, 256, (2, 36, 64, 3), np.uint8)
+    out = svc.upscale(frames)
+    assert out.shape == (2, *out_shape, 3), out.shape
