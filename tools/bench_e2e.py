@@ -47,6 +47,7 @@ def main() -> dict:
     ap.add_argument("--no-denoise", action="store_true")
     ap.add_argument("--lr-level", type=int, default=3)
     ap.add_argument("--hr-level", type=int, default=0)
+    ap.add_argument("--pix-fmt", default="rgb24", choices=["rgb24", "yuv420p"])
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -70,6 +71,7 @@ def main() -> dict:
         lr_level=args.lr_level,
         hr_level=args.hr_level,
         denoising=not args.no_denoise,
+        pix_fmt=args.pix_fmt,
         report_interval=10.0,
     )
 
@@ -127,7 +129,13 @@ def main() -> dict:
     import jax.numpy as jnp
 
     oh, ow = pipe.upscaler.output_shape
-    dev = jnp.zeros((pipe.upscaler.batch_size, oh, ow, 3), jnp.uint8)
+    bytes_per_frame = oh * ow * 3 if args.pix_fmt == "rgb24" else oh * ow * 3 // 2
+    dev = jnp.zeros(
+        (pipe.upscaler.batch_size, oh, ow, 3)
+        if args.pix_fmt == "rgb24"
+        else (pipe.upscaler.batch_size, oh * 3 // 2, ow),
+        jnp.uint8,
+    )
     jax.block_until_ready(dev)
     t_l = time.time()
     _np.asarray(dev)
@@ -168,8 +176,9 @@ def main() -> dict:
         "wall_s": round(wall, 1),
         # sustained fps ceiling this host link allows, independent of
         # device compute: D2H bytes per frame at the measured link rate
+        "pix_fmt": args.pix_fmt,
         "d2h_MBps": round(d2h_mbps, 1),
-        "link_fps_ceiling": round(d2h_mbps * 1e6 / (oh * ow * 3), 2),
+        "link_fps_ceiling": round(d2h_mbps * 1e6 / bytes_per_frame, 2),
     }
     print(json.dumps(result), flush=True)
     if args.json_out:
