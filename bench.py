@@ -113,6 +113,10 @@ def e2e_bench(seconds: float):
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_e2e.py"),
         "--seconds", str(seconds), "--fps", "24", "--no-denoise",
+        # device-side colorspace conversion: the encoder feed goes over
+        # the host link at half width (the result line records pix_fmt +
+        # the measured link ceiling for interpretation)
+        "--pix-fmt", "yuv420p",
         "--json-out", out_json,
     ]
     try:
