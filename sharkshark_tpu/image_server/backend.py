@@ -186,6 +186,13 @@ class ImageBackend:
         bh, bw = img.shape[:2]
         ph = -bh % SHAPE_BUCKET
         pw = -bw % SHAPE_BUCKET
+        if (bh + ph) * (bw + pw) > MAX_PIXELS:
+            # padding would push the device tensor past the engine-tested
+            # maximum (ADVICE r2): snap DOWN to the bucket grid instead
+            bh2 = max(SHAPE_BUCKET, bh // SHAPE_BUCKET * SHAPE_BUCKET)
+            bw2 = max(SHAPE_BUCKET, bw // SHAPE_BUCKET * SHAPE_BUCKET)
+            img = cv2.resize(img, (bw2, bh2), interpolation=cv2.INTER_AREA)
+            ph = pw = 0
         if ph or pw:
             img = cv2.copyMakeBorder(img, 0, ph, 0, pw, cv2.BORDER_REPLICATE)
 

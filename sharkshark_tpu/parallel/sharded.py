@@ -88,6 +88,10 @@ def make_sharded_denoise(
     from ..upscale.steps import upscale_batch_denoise
 
     cfg = cfg or _bsvd.BSVD_32
+    # the output-sharding spec below is derived from the rank-4 rgb24
+    # output; a planar yuv420p output is rank-3 and would need its own
+    # axis mapping (ADVICE r2)
+    assert spec.pix_fmt == "rgb24", "sharded denoise supports rgb24 only"
     ws = width_sharding(mesh)
     rep = replicated(mesh)
 
@@ -123,6 +127,7 @@ def make_sharded_egvsr_step(
     Uses the exact gather warp (fast_warp=False): XLA partitions the
     gather itself; the banded Pallas kernel stays a single-device code
     path."""
+    assert spec.pix_fmt == "rgb24", "sharded EGVSR supports rgb24 only"
     ws = width_sharding(mesh)
     rep = replicated(mesh)
     compiled = {}

@@ -47,6 +47,7 @@ class UpscalePipeline:
         pix_fmt: str = "rgb24",
         audio_skip: int = 0,
         report_interval: float = 3.0,
+        latency_target: float | None = 4.0,
         recoder: Recoder | None = None,
         upscaler=None,
         streamer: Streamer | None = None,
@@ -57,6 +58,19 @@ class UpscalePipeline:
         self.frame_skips = frame_skips
         self.small_batch_size = min(4, int(fps))
         self.report_interval = report_interval
+        # latency-target shedding (seconds, None disables): when the
+        # pipeline is oversubscribed (slow model or host link), queued
+        # batches are dropped OLDEST-first and the admission depth is
+        # scaled to latency_target x measured service rate, so capture->
+        # delivery latency stays bounded near the target instead of
+        # queue_depth/service_rate (39 s at 3.8 fps with depth-32 queues).
+        # The reference's drop-newest policy keeps the stream maximally
+        # *stale* under overload; a live stream wants lossy, not late.
+        self.latency_target = latency_target
+        self._svc_rate = 0.0  # delivered batches/sec (windowed estimate)
+        from collections import deque
+
+        self._delivery_times: deque = deque(maxlen=20)
 
         self.upscaler = upscaler or EsrganUpscalerService(
             lr_level=lr_level,
@@ -130,12 +144,33 @@ class UpscalePipeline:
                 self.frame_step += 1
                 entry.profiler.end("recoder.output.entry")
                 if self.frame_skips:
+                    self._shed_stale()
                     self.upscaler.push_job_nowait(new_entry)
                 else:
                     self.upscaler.push_job(new_entry)
             except queue.Full:
                 self.skipped_batches += 1
                 log.info("recoder output skipped (upscaler queue full)")
+
+    def _shed_stale(self) -> None:
+        """Drop-oldest admission control on the upscaler queue: keep at
+        most latency_target x service_rate batches queued (plus the
+        device in-flight ring, already counted against the budget)."""
+        if self.latency_target is None or self._svc_rate <= 0:
+            return
+        budget = self.latency_target * self._svc_rate
+        allowed = max(1, int(budget) - getattr(self.upscaler, "inflight_depth", 0))
+        q = self.upscaler.job_queue
+        while q.qsize() >= allowed:
+            try:
+                dropped = q.get_nowait()
+            except queue.Empty:
+                break
+            if not isinstance(dropped, UpscalerQueueEntry):
+                # never shed control sentinels (EOF/exit)
+                q.put_nowait(dropped)
+                break
+            self.skipped_batches += 1
 
     def upscaler_on_queue(self, entry) -> None:
         if isinstance(entry, EOF):
@@ -185,6 +220,14 @@ class UpscalePipeline:
         self._intervals.append(now - self.last_streamed)
         if len(self._intervals) > 1000:
             del self._intervals[:500]
+        # service rate feeding the latency-target shedder: a windowed
+        # count/timespan (robust to the bursty deliveries the in-flight
+        # ring produces, unlike an EMA of 1/interval)
+        self._delivery_times.append(now)
+        if len(self._delivery_times) >= 2:
+            span = self._delivery_times[-1] - self._delivery_times[0]
+            if span > 0.5:
+                self._svc_rate = (len(self._delivery_times) - 1) / span
         if (time.time() - self.last_reported) > self.report_interval:
             prof.set("upscaler.inputq", self.upscaler.job_queue.qsize())
             prof.set("streamer.inputq", self.streamer.job_queue.qsize())

@@ -159,6 +159,11 @@ class BaseService:
                 try:
                     job = self.job_queue.get(timeout=self.poll_interval)
                 except queue.Empty:
+                    # idle tick: stages with internal pipelining (e.g. the
+                    # upscaler's in-flight device ring) drain here so a
+                    # lone request is never parked waiting for a successor
+                    for entry in self.proc_idle():
+                        self._deliver(entry)
                     continue
                 if job is _EXIT:
                     break
@@ -199,6 +204,11 @@ class BaseService:
     def proc_eof(self):
         """Entries to deliver when the EOF sentinel arrives, before it is
         forwarded — override to drain in-flight state (default: none)."""
+        return ()
+
+    def proc_idle(self):
+        """Entries to deliver when the job queue is momentarily empty —
+        override to flush internally pipelined work (default: none)."""
         return ()
 
     def proc_cleanup(self) -> None:

@@ -61,19 +61,43 @@ class UpscalerQueueEntry:
 
 
 class BaseUpscalerService(BaseService):
-    """Per-job timing + entry repack around the `upscale()` hook
-    (reference upscaler_base.py:26-63)."""
+    """Per-job timing + entry repack around the `upscale_dispatch()` hook
+    (reference upscaler_base.py:26-63), plus the D2H/compute overlap the
+    reference gets from CUDA async copies (pipeline.py:91-93):
+
+    Jobs are *dispatched* to the device (async — XLA queues the step and
+    the device→host copy) and parked in an in-flight ring; the host fetch
+    of batch k happens only after batch k+1 has been dispatched, so the
+    outbound DMA streams while the MXU computes the next batch.  On a
+    host whose D2H link is the bottleneck this is the difference between
+    serialized (1/(t_compute+t_copy)) and pipelined (1/max(...)) fps.
+    When the job queue idles the ring drains immediately (proc_idle), so
+    request/response callers (image backend) see no added latency."""
 
     lr_shape: tuple[int, int] = (720, 1280)
     output_shape: tuple[int, int] | None = (1440, 2560)
+    inflight_depth: int = 2  # batches dispatched ahead of the host fetch
 
-    def proc_job_recieved(self, job: UpscalerQueueEntry) -> UpscalerQueueEntry:
+    def __init__(self, **kw) -> None:
+        super().__init__(**kw)
+        from collections import deque
+
+        self._inflight: deque = deque()
+
+    def proc_job_recieved(self, job: UpscalerQueueEntry):
         self.profiler = job.profiler
         self._last_step = job.step
-        t = time.time()
         job.profiler.end("recoder.output")
         job.profiler.start("upscaler.upscale")
-        frames_up = self.upscale(job.frames)
+        dev, n = self.upscale_dispatch(job.frames)
+        self._inflight.append((job, dev, n, time.time()))
+        if len(self._inflight) < max(1, self.inflight_depth):
+            return None
+        return self._fetch_oldest()
+
+    def _fetch_oldest(self) -> UpscalerQueueEntry:
+        job, dev, n, t = self._inflight.popleft()
+        frames_up = self._fetch(dev, n)
         job.profiler.end("upscaler.upscale")
         elapsed = time.time() - t
         job.profiler.start("upscaler.output")
@@ -87,8 +111,39 @@ class BaseUpscalerService(BaseService):
             captured_at=job.captured_at,
         )
 
-    def upscale(self, frames):  # pragma: no cover - abstract
+    def proc_idle(self):
+        if self._inflight:
+            yield self._fetch_oldest()
+
+    def proc_eof(self):
+        while self._inflight:
+            yield self._fetch_oldest()
+
+    @staticmethod
+    def _host_async(dev) -> None:
+        """Queue the device→host copy now (it starts the moment the
+        producing computation finishes); the later np.asarray just waits."""
+        try:
+            dev.copy_to_host_async()
+        except (AttributeError, NotImplementedError):  # pragma: no cover
+            pass
+
+    @staticmethod
+    def _fetch(dev, n: int) -> np.ndarray:
+        if isinstance(dev, (list, tuple)):
+            return np.concatenate([np.asarray(d) for d in dev], axis=0)[:n]
+        return np.asarray(dev)[:n]
+
+    def upscale_dispatch(self, frames):  # pragma: no cover - abstract
+        """Dispatch the device step for `frames`; return (device_out,
+        n_real) WITHOUT blocking on the device→host transfer."""
         raise NotImplementedError
+
+    def upscale(self, frames) -> np.ndarray:
+        """Synchronous convenience wrapper (tests, image backend direct
+        calls): dispatch + fetch in one step."""
+        dev, n = self.upscale_dispatch(frames)
+        return self._fetch(dev, n)
 
 
 def _load_srvgg_params(
@@ -167,8 +222,10 @@ class EsrganUpscalerService(BaseUpscalerService):
         # main thread BEFORE the paced source starts — in-run compilation
         # otherwise stalls a live pipeline for minutes and drops frames
         # (tools/bench_e2e.py warmup; the reference pays the same cost as
-        # TRT engine builds before its pipeline starts)
-        if getattr(self, "_sr_apply", None) is not None:
+        # TRT engine builds before its pipeline starts). Keyed on a flag
+        # set as the LAST init statement so a partial init is retried,
+        # not silently skipped (ADVICE r2).
+        if getattr(self, "_initialized", False):
             return
         enable_persistent_cache()
         spec = UpscaleSpec(
@@ -302,12 +359,16 @@ class EsrganUpscalerService(BaseUpscalerService):
             lambda p, f: upscale_multi(sr_apply, p, f, spec)
         )
         log.info("model loaded (%s, denoise=%s)", self.upscaler_model, self.denoising)
+        self._initialized = True
 
     def proc_eof(self):
         """Drain the BSVD lookahead at end-of-stream: the last SHIFT_NUM
         frames are still inside the network when the source ends (the
         reference's production streaming drops them — a real-EOF
         improvement, ROADMAP 'streaming BSVD flush semantics')."""
+        # first deliver whatever is still in the in-flight device ring —
+        # ring entries precede the drained lookahead in stream order
+        yield from super().proc_eof()
         if not self.denoising or not getattr(self, "_frames_seen", 0):
             return
         k = min(self._frames_seen, bsvd.SHIFT_NUM)
@@ -345,8 +406,9 @@ class EsrganUpscalerService(BaseUpscalerService):
             profiler=prof,
         )
 
-    def upscale(self, frames) -> np.ndarray:
-        """frames: (N, H, W, 3) uint8 -> (N, OH, OW, 3) uint8 numpy."""
+    def upscale_dispatch(self, frames):
+        """frames: (N, H, W, 3) uint8 -> (device array, N). Async: the
+        device step and its D2H copy are queued; nothing blocks here."""
         frames = np.asarray(frames)
         assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
         if self.single_mode:
@@ -371,7 +433,8 @@ class EsrganUpscalerService(BaseUpscalerService):
             real = [True] * n + [False] * (len(frames) - n)
             self._tail_frames = (self._tail_frames + list(frames))[-bsvd.SHIFT_NUM:]
             self._tail_real = (self._tail_real + real)[-bsvd.SHIFT_NUM:]
-            return np.asarray(out)[:n]
+            self._host_async(out)
+            return out, n
 
         n = len(frames)
         if n < self.batch_size:
@@ -379,7 +442,8 @@ class EsrganUpscalerService(BaseUpscalerService):
             pad = np.repeat(frames[-1:], self.batch_size - n, axis=0)
             frames = np.concatenate([frames, pad], axis=0)
         out = self._multi_step(self._sr_params, jnp.asarray(frames))
-        return np.asarray(out)[:n]
+        self._host_async(out)
+        return out, n
 
 
 class EgvsrUpscalerService(BaseUpscalerService):
@@ -430,12 +494,13 @@ class EgvsrUpscalerService(BaseUpscalerService):
             lambda p, s, f: egvsr_upscale_step(p, s, f, spec)
         )
 
-    def upscale(self, frames) -> np.ndarray:
+    def upscale_dispatch(self, frames):
         frames = np.asarray(frames)
         outs = []
         for i in range(len(frames)):
             out, self._state = self._step(
                 self._params, self._state, jnp.asarray(frames[i : i + 1])
             )
+            self._host_async(out)
             outs.append(out)
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+        return outs, len(frames)

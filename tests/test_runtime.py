@@ -113,3 +113,61 @@ def test_profiler_running_average():
     p.set("gauge", 7)
     assert p.data["gauge"] == 7
     assert "region" in p.dumps()
+
+
+# -- in-flight device ring (D2H/compute overlap) ---------------------------
+
+
+def _ring_service(depth=2):
+    import numpy as np
+
+    from sharkshark_tpu.upscale.service import BaseUpscalerService
+
+    class FakeDispatchUpscaler(BaseUpscalerService):
+        """upscale_dispatch returns immediately (the async-dispatch
+        contract); _fetch is where the host would block on D2H."""
+
+        inflight_depth = depth
+
+        def upscale_dispatch(self, frames):
+            return np.asarray(frames) * 2, len(frames)
+
+    return FakeDispatchUpscaler(name="ring")
+
+
+def test_inflight_ring_delivers_in_order():
+    import numpy as np
+
+    from sharkshark_tpu.upscale.service import UpscalerQueueEntry
+
+    svc = _ring_service(depth=2)
+    got = []
+    svc.on_queue = got.append
+    svc.start()
+    for step in range(5):
+        svc.push_job(
+            UpscalerQueueEntry(frames=np.full((2, 4, 4, 3), step, np.uint8), step=step)
+        )
+    svc.push_eof()
+    assert svc.wait_eof(timeout=10)
+    svc.stop()
+    entries = [e for e in got if not isinstance(e, EOF)]
+    assert [e.step for e in entries] == [0, 1, 2, 3, 4]
+    assert entries[3].frames[0, 0, 0, 0] == 6  # doubled payload
+
+
+def test_inflight_ring_idle_drain_single_job():
+    """A lone request must not wait for a successor job: the ring drains
+    on the next idle poll (request/response callers, image backend)."""
+    import numpy as np
+
+    from sharkshark_tpu.upscale.service import UpscalerQueueEntry
+
+    svc = _ring_service(depth=3)
+    svc.start()
+    t0 = time.time()
+    svc.push_job(UpscalerQueueEntry(frames=np.ones((1, 4, 4, 3), np.uint8), step=7))
+    out = svc.get_result(timeout=5)
+    assert out.step == 7
+    assert time.time() - t0 < 2.0
+    svc.stop()
