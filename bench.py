@@ -105,14 +105,78 @@ def device_step_bench(window_s: float) -> None:
     return fps
 
 
-def e2e_bench(seconds: float):
+def denoise_step_bench(window_s: float) -> float | None:
+    """The north-star workload (BASELINE.md): BSVD denoise + SRVGG SR +
+    full post, micro-batch 4, warm steady-state executable — recorded as
+    its own driver metric (VERDICT r2 item 2)."""
+    from sharkshark_tpu.models import bsvd, cast_params, srvgg
+    from sharkshark_tpu.upscale import (
+        UpscaleSpec,
+        init_denoise_state,
+        upscale_batch_denoise,
+    )
+
+    cfg = srvgg.GENERAL_X4V3
+    params = {
+        "sr": cast_params(srvgg.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16),
+        "denoise": cast_params(bsvd.init_params(jax.random.PRNGKey(1)), jnp.bfloat16),
+    }
+    spec = UpscaleSpec(lr_shape=(720, 1280), output_shape=(1440, 2560),
+                       compute_dtype=jnp.bfloat16)
+    batch = 4
+    step = jax.jit(
+        lambda p, s, f: upscale_batch_denoise(
+            lambda q, x: srvgg.apply_down2(q, x, cfg=cfg), p, s, f, spec,
+            warm=True,
+        )
+    )
+    checksum = jax.jit(lambda o: jnp.sum(o, dtype=jnp.int32))
+    state = init_denoise_state(1, spec)
+    frames = jax.random.randint(
+        jax.random.PRNGKey(2), (batch, 720, 1280, 3), 0, 256, jnp.uint8
+    )
+    out, state = step(params, state, frames)
+    float(checksum(out))
+    block, block_fps = 5, []
+    t_start = time.perf_counter()
+    while time.perf_counter() - t_start < window_s:
+        t0 = time.perf_counter()
+        for _ in range(block):
+            out, state = step(params, state, frames)
+        float(checksum(out))
+        block_fps.append(block * batch / (time.perf_counter() - t0))
+
+    import numpy as np
+
+    fps = float(np.mean(block_fps))
+    print(
+        json.dumps(
+            {
+                "metric": "denoise_720p_to_1440p_fps",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "fps_std": round(float(np.std(block_fps)), 2),
+                "denoise": True,
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        ),
+        flush=True,
+    )
+    return fps
+
+
+def e2e_bench(seconds: float, fps: str, tag: str):
     """Run tools/bench_e2e.py in a subprocess (its own pipeline threads +
-    jax client) and return its parsed result."""
-    out_json = "/tmp/ss4_bench_e2e.json"
+    jax client) and return its parsed result.  fps='24' is the stress
+    row (source at the reference's rate, expect shedding with bounded
+    latency); fps='auto' paces the source at the measured link ceiling
+    (sustained row, expect ~0 drops) — both target >= 0.9 link
+    utilization now that D2H overlaps device compute."""
+    out_json = f"/tmp/ss4_bench_e2e_{tag}.json"
     cmd = [
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_e2e.py"),
-        "--seconds", str(seconds), "--fps", "24", "--no-denoise",
+        "--seconds", str(seconds), "--fps", fps, "--no-denoise",
         # device-side colorspace conversion: the encoder feed goes over
         # the host link at half width (the result line records pix_fmt +
         # the measured link ceiling for interpretation)
@@ -129,7 +193,8 @@ def e2e_bench(seconds: float):
         print(json.dumps(res), flush=True)
         return res
     except Exception as ex:  # noqa: BLE001 - bench must still emit headline
-        print(json.dumps({"metric": "e2e_sustained_fps", "error": str(ex)[:200]}),
+        print(json.dumps({"metric": "e2e_sustained_fps", "mode": tag,
+                          "error": str(ex)[:200]}),
               flush=True)
         return None
 
@@ -144,6 +209,10 @@ def main() -> None:
             "metric": "upscale_720p_to_1440p_fps",
             "value": round(fps, 2),
             "unit": "frames/sec",
+            # headline is the SR-only production path (reference's quoted
+            # RealESRGAN mode); the denoise-on north star is the separate
+            # denoise_720p_to_1440p_fps line above
+            "denoise": False,
             "vs_baseline": round(fps / BASELINE_FPS, 3),
         }
     )
@@ -152,8 +221,10 @@ def main() -> None:
     # run mid-e2e the headline is already on stdout), then again last so
     # a tail parse also lands on it
     print(headline, flush=True)
+    denoise_step_bench(min(window, 20.0))
     if e2e_s > 0:
-        e2e_bench(e2e_s)
+        e2e_bench(e2e_s, "auto", "sustained")
+        e2e_bench(e2e_s, "24", "stress")
     print(headline)
 
 

@@ -370,7 +370,50 @@ def _shift_conv_chunk(p: dict, st: dict, x: jnp.ndarray, act: str):
     return y, {"left": new_left, "center": new_center}
 
 
+def _tsm_channels() -> tuple[int, ...]:
+    """Channel widths routed to the fused Pallas temporal-shift conv on
+    the warm path.  Default: both C=64 and C=128 — measured IN-GRAPH at
+    720p/T=4 the fused kernel beats XLA conv + shift-input construction
+    at both widths (41.3 -> 36.5 ms/frame warm chunk; r2's isolated-conv
+    comparison had C=128 losing only because it ignored the construction
+    the XLA path pays).  Override via SHARKSHARK_TSM ('0' disables,
+    '64' = C=64 only)."""
+    import os
+
+    v = os.environ.get("SHARKSHARK_TSM", "64,128")
+    if v in ("0", ""):
+        return ()
+    return tuple(int(c) for c in v.split(",") if c.strip())
+
+
+def _shift_conv_chunk_fused(p: dict, st: dict, x: jnp.ndarray, act: str):
+    """Pallas fused equivalent of _shift_conv_chunk (warm regime): the
+    temporal channel mix is assembled in VMEM on the way into the MXU
+    instead of materialized in HBM (ops/pallas/tsm_conv.py)."""
+    from ..ops.pallas.tsm_conv import tsm_conv
+
+    t = x.shape[0]
+    fold = x.shape[-1] // 8
+    y = tsm_conv(x[:, 0], st["center"][0], st["left"][0], p["w"], p["b"], act=act)
+    new_center = x[-1]
+    new_left = (
+        x[-2, ..., fold : 2 * fold] if t >= 2 else st["center"][..., fold : 2 * fold]
+    )
+    return y[:, None], {"left": new_left, "center": new_center}
+
+
 def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
+    from ..ops.pallas.tsm_conv import tsm_conv_supported
+
+    if (
+        warm
+        and jax.default_backend() == "tpu"
+        and x.shape[-1] in _tsm_channels()
+        and tsm_conv_supported(x.shape)
+    ):
+        y, s1 = _shift_conv_chunk_fused(p["c1"], st["c1"], x, act)
+        y, s2 = _shift_conv_chunk_fused(p["c2"], st["c2"], y, act)
+        return y, {"c1": s1, "c2": s2}
     if not warm:
         x = _window_mask(x, first_idx, t_end)
     y, s1 = _shift_conv_chunk(p["c1"], st["c1"], x, act)

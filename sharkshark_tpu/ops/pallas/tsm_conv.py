@@ -32,6 +32,9 @@ Design:
 
 Steady-state (warm) live path only — warm-up masking stays in the XLA
 path, which also remains the fallback for CPU, odd shapes, and N > 1.
+Production wiring: models/bsvd.py _mem_chunk(warm=True) routes supported
+shift convs here (gated by SHARKSHARK_TSM, default on for the channel
+widths where the fused kernel beats XLA conv + input construction).
 """
 
 from __future__ import annotations

@@ -79,6 +79,23 @@ def define_generator(opt: dict):
             "from_torch": lambda sd: egvsr.from_torch(sd, cfg),
         }
 
+    if name == "srvgg":
+        from ..models import srvgg
+        g = opt["model"]["generator"]
+        cfg = srvgg.SRVGGConfig(
+            num_feat=g.get("nf", 64),
+            num_conv=g.get("num_conv", 32),
+            upscale=opt.get("scale", 4),
+        )
+        return {
+            "name": name,
+            "cfg": cfg,
+            "init": lambda key: srvgg.init_params(key, cfg),
+            # per-frame: the T axis rides the batch dim
+            "infer": lambda p, lr: srvgg.apply(p, lr, cfg=cfg),
+            "from_torch": lambda sd: srvgg.from_torch(sd, cfg),
+        }
+
     from ..models import variants as V
 
     if name == "espnet":
@@ -174,10 +191,27 @@ def _build_training(opt: dict):
     """VSR (pixel+warp) or VSRGAN (TecoGAN) training per the config —
     reference define_model (models/__init__.py): presence of a
     model.discriminator block selects the GAN wrapper."""
-    mcfg = _model_cfg(opt)
     gtr = opt["train"]["generator"]
     seed = opt.get("manual_seed", 0)
 
+    if opt["model"]["generator"].get("name", "FRNet").lower() == "srvgg":
+        from .sisr import SISRTrainConfig, create_sisr_state, make_sisr_train_step
+
+        gen = define_generator(opt)
+        cfg = SISRTrainConfig(
+            model_cfg=gen["cfg"],
+            lr=gtr.get("lr", 2e-4),
+            beta1=gtr.get("beta1", 0.9),
+            beta2=gtr.get("beta2", 0.999),
+            pixel_crit=opt["train"].get("pixel_crit"),
+            pixel_weight=opt["train"].get("pixel_crit", {}).get("weight", 1.0),
+        )
+        sched = define_lr_schedule(gtr.get("lr_schedule"), cfg.lr)
+        state = create_sisr_state(jax.random.PRNGKey(seed), cfg, sched)
+        step_fn = jax.jit(make_sisr_train_step(cfg, sched))
+        return state, step_fn, lambda s: s.params
+
+    mcfg = _model_cfg(opt)
     if opt.get("model", {}).get("discriminator"):
         from .discriminators import DiscriminatorConfig
         from .vsrgan import VSRGANConfig, create_gan_state, make_gan_train_step

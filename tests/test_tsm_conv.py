@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from sharkshark_tpu.models import bsvd
-from experiments.tsm_conv import (
+from sharkshark_tpu.ops.pallas.tsm_conv import (
     pick_tile_h,
     tsm_conv,
     tsm_conv_supported,
