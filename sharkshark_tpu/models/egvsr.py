@@ -169,28 +169,58 @@ def frnet_step(
     *,
     cfg: EGVSRConfig = DEFAULT,
     fast_warp: bool = False,
+    cut_threshold: float | None = None,
 ) -> jnp.ndarray:
     """One recurrence step (reference FRNet.forward, egvsr.py:180-212).
 
     fast_warp routes the HR warp through the gather-free banded Pallas
     kernel (exact-fallback semantics; inference only — the gather path
-    stays the differentiable/training formulation)."""
+    stays the differentiable/training formulation).
+
+    cut_threshold (inference improvement over the reference, off by
+    default): when mean |lr_curr - lr_prev| exceeds it, the frame is a
+    scene cut — FNet's flow is then meaningless, frame-recurrent SR
+    degenerates to zero-flow anyway, and a garbage flow field forces the
+    banded warp onto its expensive FULL window.  The whole flow+warp
+    branch is skipped under lax.cond (hr_warp := hr_prev, exactly the
+    zero-flow warp), bounding per-frame cost at cuts BELOW the smooth-
+    flow cost instead of +50 ms above it (BASELINE.md r2 EGVSR note)."""
     s = cfg.scale
     h, w = lr_curr.shape[-3], lr_curr.shape[-2]
-    flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
-    pad_h, pad_w = h - flow.shape[-3], w - flow.shape[-2]
-    if pad_h or pad_w:
-        flow = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
-    hr_flow = jnp.asarray(float(s), flow.dtype) * resize(flow, (h * s, w * s), "bilinear")
-    # NOTE: two s2d-avoidance reformulations are measured negatives:
-    # (a) planar-warp-output + strided-conv_in fold — 17.3 vs 11.1 ms at
-    # 2160p, the 12x12/s4 C_in=3 conv is MXU-hostile
-    # (experiments/planar_warp.py); (b) fusing s2d into the warp kernel's
-    # output tiles via one-hot permutation matmuls (warp_band s2d_out) —
-    # 165 vs 112.6 ms full-step at 720p, the 12 tiny per-tile matmuls
-    # cost more than XLA's relayout.  s2d + conv stays the fastest.
-    warp = backward_warp_fast if fast_warp else backward_warp
-    hr_warp = warp(hr_prev, hr_flow)
+
+    def flow_warp():
+        flow = fnet_apply(params["fnet"], lr_curr, lr_prev)
+        pad_h, pad_w = h - flow.shape[-3], w - flow.shape[-2]
+        if pad_h or pad_w:
+            flow_p = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
+        else:
+            flow_p = flow
+        hr_flow = jnp.asarray(float(s), flow_p.dtype) * resize(
+            flow_p, (h * s, w * s), "bilinear"
+        )
+        # NOTE: two s2d-avoidance reformulations are measured negatives:
+        # (a) planar-warp-output + strided-conv_in fold — 17.3 vs 11.1 ms at
+        # 2160p, the 12x12/s4 C_in=3 conv is MXU-hostile
+        # (experiments/planar_warp.py); (b) fusing s2d into the warp kernel's
+        # output tiles via one-hot permutation matmuls (warp_band s2d_out) —
+        # 165 vs 112.6 ms full-step at 720p, the 12 tiny per-tile matmuls
+        # cost more than XLA's relayout.  s2d + conv stays the fastest.
+        warp = backward_warp_fast if fast_warp else backward_warp
+        # both cond branches must agree on dtype (the banded kernel
+        # computes in bf16; the skip branch passes hr_prev through)
+        return warp(hr_prev, hr_flow).astype(lr_curr.dtype)
+
+    if cut_threshold is None:
+        hr_warp = flow_warp()
+    else:
+        diff = jnp.mean(
+            jnp.abs(
+                lr_curr.astype(jnp.float32) - lr_prev.astype(jnp.float32)
+            )
+        )
+        hr_warp = jax.lax.cond(
+            diff > cut_threshold, lambda: hr_prev.astype(lr_curr.dtype), flow_warp
+        )
     return srnet_apply(params["srnet"], lr_curr, space_to_depth(hr_warp, s))
 
 
@@ -203,13 +233,25 @@ def init_recurrent_state(n: int, h: int, w: int, cfg: EGVSRConfig = DEFAULT, dty
     )
 
 
-def infer_step(params, state, lr_curr, *, cfg: EGVSRConfig = DEFAULT, fast_warp: bool = True):
+def infer_step(
+    params,
+    state,
+    lr_curr,
+    *,
+    cfg: EGVSRConfig = DEFAULT,
+    fast_warp: bool = True,
+    cut_threshold: float | None = None,
+):
     """Streaming step carrying (lr_prev, hr_prev) — the service-side analogue
     of reference egvsr_upscaler.py:197-207.  Uses the banded warp kernel
     on TPU by default (falls back to the exact gather warp off-TPU, for
-    kernel-unfriendly shapes, and for rough flow fields)."""
+    kernel-unfriendly shapes, and for rough flow fields); cut_threshold
+    enables the scene-cut skip-warp fallback (see frnet_step)."""
     lr_prev, hr_prev = state
-    hr = frnet_step(params, lr_curr, lr_prev, hr_prev, cfg=cfg, fast_warp=fast_warp)
+    hr = frnet_step(
+        params, lr_curr, lr_prev, hr_prev, cfg=cfg, fast_warp=fast_warp,
+        cut_threshold=cut_threshold,
+    )
     return hr, (lr_curr, hr)
 
 

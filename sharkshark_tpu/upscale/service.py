@@ -458,6 +458,7 @@ class EgvsrUpscalerService(BaseUpscalerService):
         compute_dtype=jnp.bfloat16,
         cfg: egvsr.EGVSRConfig = egvsr.DEFAULT,
         pix_fmt: str = "rgb24",
+        cut_threshold: float | None = 0.12,
     ) -> None:
         super().__init__(name="EgvsrUpscaler")
         self.pix_fmt = pix_fmt
@@ -467,6 +468,11 @@ class EgvsrUpscalerService(BaseUpscalerService):
         self.weights = weights
         self.compute_dtype = compute_dtype
         self.cfg = cfg
+        # live default ON: at a scene cut FNet's flow is garbage and the
+        # banded warp would take its FULL window (+50 ms); skipping the
+        # flow+warp branch equals the zero-flow warp FRVSR degenerates to
+        # anyway (egvsr.frnet_step docstring)
+        self.cut_threshold = cut_threshold
 
     def proc_init(self) -> None:
         enable_persistent_cache()
@@ -491,7 +497,9 @@ class EgvsrUpscalerService(BaseUpscalerService):
             1, h, w, self.cfg, dtype=self.compute_dtype
         )
         self._step = ShapeCache(
-            lambda p, s, f: egvsr_upscale_step(p, s, f, spec)
+            lambda p, s, f: egvsr_upscale_step(
+                p, s, f, spec, cut_threshold=self.cut_threshold
+            )
         )
 
     def upscale_dispatch(self, frames):

@@ -308,10 +308,12 @@ def egvsr_upscale_step(
     state: tuple,
     frame: jnp.ndarray,
     spec: UpscaleSpec,
+    cut_threshold: float | None = None,
 ) -> tuple[jnp.ndarray, tuple]:
     """Frame-recurrent EGVSR path (reference egvsr_upscaler.py:145-212):
     area-resize to lr_shape, FRNet step with (lr_prev, hr_prev) carry,
-    clamp, resize to output_shape, uint8."""
+    clamp, resize to output_shape, uint8.  cut_threshold: scene-cut
+    skip-warp fallback (egvsr.frnet_step)."""
     from ..models import egvsr
 
     img = to_float(frame)
@@ -319,7 +321,10 @@ def egvsr_upscale_step(
     h, w = img.shape[-3], img.shape[-2]
     if spec.lr_hr_resize and (h > spec.lr_shape[0] or w > spec.lr_shape[1]):
         lr = resize(img, spec.lr_shape, "area")
-    hr, new_state = egvsr.infer_step(params, state, lr.astype(spec.compute_dtype))
+    hr, new_state = egvsr.infer_step(
+        params, state, lr.astype(spec.compute_dtype),
+        cut_threshold=cut_threshold,
+    )
     hr = jnp.clip(hr.astype(jnp.float32), 0.0, 1.0)
     hr = _resize_to_output(hr, spec)
     return _emit(hr, spec), new_state

@@ -136,3 +136,39 @@ def test_forward_sequence_consistent_with_step_recurrence():
     np.testing.assert_allclose(hr[:, 1], hr1, rtol=1e-4, atol=1e-5)
 
 
+
+
+def test_cut_skip_warp_fallback():
+    """cut_threshold semantics (VERDICT r2 item 5): above-threshold frame
+    diff skips the flow+warp branch (hr_warp == hr_prev, the zero-flow
+    warp); below it, output matches the unconditional path exactly."""
+    from sharkshark_tpu.ops import space_to_depth
+
+    cfg = egvsr.EGVSRConfig(nf=16, nb=2)
+    params = egvsr.init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    h, w = 16, 16
+    lr_prev = jax.random.uniform(key, (1, h, w, 3))
+    hr_prev = jax.random.uniform(jax.random.PRNGKey(2), (1, 4 * h, 4 * w, 3))
+
+    # scene cut: totally different content
+    lr_cut = 1.0 - lr_prev
+    out_skip = egvsr.frnet_step(
+        params, lr_cut, lr_prev, hr_prev, cfg=cfg, cut_threshold=0.12
+    )
+    manual = egvsr.srnet_apply(
+        params["srnet"], lr_cut, space_to_depth(hr_prev, cfg.scale)
+    )
+    np.testing.assert_allclose(np.asarray(out_skip), np.asarray(manual), atol=1e-4)
+
+    # smooth motion: identical to the unconditional path
+    lr_near = jnp.clip(lr_prev + 0.01, 0, 1)
+    out_cond = egvsr.frnet_step(
+        params, lr_near, lr_prev, hr_prev, cfg=cfg, cut_threshold=0.12
+    )
+    out_ref = egvsr.frnet_step(
+        params, lr_near, lr_prev, hr_prev, cfg=cfg, cut_threshold=None
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cond), np.asarray(out_ref), atol=1e-4
+    )

@@ -50,6 +50,101 @@ def _bench_egvsr(iters: int):
     return rows
 
 
+def _bench_cuts(iters: int, cut_every: int = 24):
+    """Mixed-content EGVSR at 720p (VERDICT r2 item 5): a stream of two
+    panning scenes switching every `cut_every` frames, run with the
+    scene-cut skip-warp fallback on vs off, plus the forced FULL-window
+    warp cost so the worst-case no-skip mix is derivable even when the
+    local FNet's flows happen to stay smooth.  Reports sustained fps and
+    per-frame p99."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from sharkshark_tpu.models import cast_params, egvsr
+
+    cfg = egvsr.DEFAULT
+    h, w = 720, 1280
+    params = cast_params(egvsr.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    checksum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+
+    # two panning scenes from two fixed textures: smooth motion inside a
+    # scene, a full-content switch at each cut
+    rng = np.random.default_rng(7)
+    tex = [
+        rng.random((h + 64, w + 64, 3)).astype(np.float32) for _ in range(2)
+    ]
+    n_frames = max(2 * cut_every, 48)
+    frames = []
+    for i in range(n_frames):
+        scene = (i // cut_every) % 2
+        off = (i % cut_every) * 2
+        frames.append(tex[scene][off : off + h, off : off + w])
+    frames = [jnp.asarray(f, jnp.bfloat16) for f in frames]
+    jax.block_until_ready(frames)
+
+    rows = []
+    for thr in (0.12, None):
+        fn = jax.jit(
+            lambda p, st, x, t=thr: egvsr.infer_step(
+                p, st, x, cfg=cfg, cut_threshold=t
+            )
+        )
+        state = egvsr.init_recurrent_state(1, h, w, cfg, jnp.bfloat16)
+        # compile both cond branches: a smooth frame and a cut frame
+        out, st = fn(params, state, frames[0][None])
+        out, st = fn(params, st, frames[cut_every][None])
+        float(checksum(out))
+        # sustained pass
+        st = egvsr.init_recurrent_state(1, h, w, cfg, jnp.bfloat16)
+        t0 = time.perf_counter()
+        for f in frames:
+            out, st = fn(params, st, f[None])
+        float(checksum(out))
+        sustained = (time.perf_counter() - t0) / n_frames * 1e3
+        # per-frame pass (hard barrier per frame for the distribution)
+        st = egvsr.init_recurrent_state(1, h, w, cfg, jnp.bfloat16)
+        per = []
+        for f in frames:
+            t1 = time.perf_counter()
+            out, st = fn(params, st, f[None])
+            float(checksum(out))
+            per.append((time.perf_counter() - t1) * 1e3)
+        row = {
+            "model": "egvsr-cuts", "lr": f"{h}x{w}",
+            "cut_every": cut_every, "cut_skip": thr is not None,
+            "ms_per_frame": round(sustained, 1),
+            "fps": round(1000 / sustained, 2),
+            "ms_p99_barrier": round(float(np.percentile(per, 99)), 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # forced FULL-window warp (rough flow): the +cost a no-skip pipeline
+    # pays on each cut frame when flow goes rough
+    from sharkshark_tpu.ops.warp import backward_warp_fast
+
+    hr = jax.random.uniform(jax.random.PRNGKey(3), (1, 4 * h, 4 * w, 3),
+                            dtype=jnp.bfloat16)
+    rough = (jax.random.uniform(jax.random.PRNGKey(4), (1, 4 * h, 4 * w, 2),
+                                dtype=jnp.float32) - 0.5) * 180.0
+    smooth = jnp.zeros((1, 4 * h, 4 * w, 2), jnp.float32) + 3.0
+    wf = jax.jit(lambda x, f: backward_warp_fast(x, f))
+    for name, flow in [("fast", smooth), ("full", rough)]:
+        float(checksum(wf(hr, flow)))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = wf(hr, flow)
+        float(checksum(out))
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        row = {"model": f"egvsr-warp-{name}", "lr": f"{h}x{w}",
+               "ms_per_frame": round(ms, 1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 def _bench_denoise(iters: int, batch: int):
     """Production denoise path: chunked BSVD + SRVGG + postproc, 720p."""
     import time
@@ -101,13 +196,15 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--suites", nargs="+", default=["sr"],
-                   choices=["sr", "egvsr", "denoise"],
+                   choices=["sr", "egvsr", "denoise", "cuts"],
                    help="which benchmark families to run")
     args = p.parse_args(argv)
 
     extra = []
     if "egvsr" in args.suites:
         extra += _bench_egvsr(args.iters)
+    if "cuts" in args.suites:
+        extra += _bench_cuts(args.iters)
     if "denoise" in args.suites:
         extra += _bench_denoise(args.iters, args.batch)
     if "sr" not in args.suites:
