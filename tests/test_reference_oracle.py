@@ -242,3 +242,25 @@ def test_fsrcnn_oracle_real_weights():
         want = nhwc(ref(nchw(x)))
     got = np.asarray(fsrcnn.apply(params, jnp.asarray(x), factor=4))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fsrcnn_x2_oracle_real_weights():
+    """x2 factor against the reference's checked-in fsrcnn_x2-T91.pth
+    (the x2 path was never exercised with real weights before — VERDICT
+    r2 residual micro-surface)."""
+    from sharkshark_tpu.models import fsrcnn
+    from sharkshark_tpu.models.torch_import import load_state_dict
+
+    ref_mod = _load_module("ref_fsrcnn_oracle_x2", f"{REF}/fsrcnn/model.py")
+    ref = ref_mod.FSRCNN(upscale_factor=2).eval()
+    ckpt = f"{REF}/fsrcnn/fsrcnn_x2-T91.pth"
+    sd = load_state_dict(ckpt)
+    ref.load_state_dict({k: t(v) for k, v in sd.items()})
+    params = fsrcnn.from_torch(sd)
+
+    x = RNG.random((1, 14, 18, 1), dtype=np.float32)
+    with torch.no_grad():
+        want = nhwc(ref(nchw(x)))
+    got = np.asarray(fsrcnn.apply(params, jnp.asarray(x), factor=2))
+    assert got.shape == want.shape == (1, 28, 36, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
