@@ -50,15 +50,34 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["tsm_conv", "tsm_conv_supported", "pack_weights"]
 
 
-_TILE_CHOICES = (8, 10, 12, 6, 9, 15, 5, 4)
 NSLOT = 4
+# VMEM budget for ring + mixed + acc + out tiles (bytes); leaves head-
+# room under the ~16 MB/core for weights and compiler temporaries
+_VMEM_BUDGET = 12_000_000
 
 
-def pick_tile_h(h: int) -> int | None:
-    for th in _TILE_CHOICES:
-        if h % th == 0 and h // th >= 2:
-            return th
-    return None
+def pick_tile_h(h: int, wp: int | None = None) -> int | None:
+    """Largest divisor row-tile that fits the VMEM budget.
+
+    Grid-step overhead on this chip (~30 us/step: DMA issue + scheduling)
+    dwarfs the per-step MXU/DMA work at small tiles, so bigger is
+    strictly better until VMEM runs out.  wp = W // fold_w (super-pixel
+    width); when unknown a 720p-class wp=320 is assumed."""
+    wp = wp or 320
+    # bytes as fn of tile_h: 4 ring slots + mixed (+2 halo rows/cols,
+    # bf16) + f32 accumulator + out tile
+    def vmem(th):
+        return (
+            (th + 2) * wp * 128 * 2 * NSLOT
+            + (th + 2) * (wp + 2) * 128 * 2
+            + th * wp * 128 * (4 + 2)
+        )
+
+    best = None
+    for th in range(4, min(h // 2, 64) + 1):
+        if h % th == 0 and vmem(th) <= _VMEM_BUDGET:
+            best = th
+    return best
 
 
 def tsm_conv_supported(x_shape: tuple[int, ...]) -> bool:
@@ -69,7 +88,7 @@ def tsm_conv_supported(x_shape: tuple[int, ...]) -> bool:
     if not (n == 1 and t >= 2 and c in (64, 128)):
         return False
     fold_w = 128 // c
-    return w % fold_w == 0 and pick_tile_h(h) is not None
+    return w % fold_w == 0 and pick_tile_h(h, w // fold_w) is not None
 
 
 def pack_weights(w: jnp.ndarray) -> np.ndarray:
@@ -219,7 +238,7 @@ def tsm_conv(
     fold_w = 128 // c
     wp_ = wd // fold_w
     if tile_h is None:
-        tile_h = pick_tile_h(h)
+        tile_h = pick_tile_h(h, wd // fold_w)
         if tile_h is None:
             raise ValueError(f"no valid tile_h for H={h}")
     n_row_tiles = h // tile_h

@@ -420,6 +420,11 @@ def main(argv=None) -> None:
     p.add_argument("--config", required=True)
     p.add_argument("--mode", choices=["train", "test", "profile"], default="train")
     args = p.parse_args(argv)
+    # on-disk XLA executable cache: repeat train/test runs skip the
+    # multi-minute step compile (same cache the inference services use)
+    from ..upscale.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     opt = load_config(args.config)
     {"train": train, "test": test, "profile": profile}[args.mode](opt)
 

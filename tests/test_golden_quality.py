@@ -144,3 +144,36 @@ def test_egvsr_real_weights_beat_interpolation():
     p_sr = psnr((sr * 255).astype(np.uint8), gt, "rgb")
     p_bil = psnr((bil * 255).astype(np.uint8), gt, "rgb")
     assert p_sr > p_bil, (p_sr, p_bil)
+
+
+HOLDOUT = "/root/reference/samples/images/bsvd.png"  # excluded from training
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_w(os.path.join("minted", "srvgg-derived-x4.pth"))),
+    reason="mint weights first (train/driver.py + tools/export_torch_srvgg.py)",
+)
+def test_minted_srvgg_beats_interpolation_on_holdout():
+    """Locally-trained production-architecture SRVGG (train/driver.py on
+    the derived-from-stills dataset, exported via export_torch_srvgg)
+    must beat bicubic on the HELD-OUT frame through the unchanged
+    production import path — the no-egress substitute for the
+    reference's downloaded realesr-general-x4v3 quality evidence."""
+    import cv2
+    from PIL import Image
+
+    from sharkshark_tpu.models import srvgg
+    from sharkshark_tpu.train.metrics import compute_psnr as psnr
+
+    sd = torch_import.load_state_dict(_w(os.path.join("minted", "srvgg-derived-x4.pth")))
+    params = srvgg.from_torch(sd, srvgg.GENERAL_X4V3)
+    gt = np.asarray(Image.open(HOLDOUT).convert("RGB"))[80:336, 320:704]
+    h, w = gt.shape[:2]
+    # the training degradation: cv2 bicubic downscale (make_derived_dataset)
+    lr = cv2.resize(gt, (w // 4, h // 4), interpolation=cv2.INTER_CUBIC)
+    lr_f = jnp.asarray(lr, jnp.float32)[None] / 255.0
+    sr = np.asarray(jnp.clip(srvgg.apply(params, lr_f, cfg=srvgg.GENERAL_X4V3)[0], 0, 1))
+    bic = cv2.resize(lr, (w, h), interpolation=cv2.INTER_CUBIC)
+    p_sr = psnr((sr * 255).astype(np.uint8), gt, "y")
+    p_bic = psnr(bic, gt, "y")
+    assert p_sr > p_bic + 0.3, (p_sr, p_bic)

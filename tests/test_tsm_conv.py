@@ -70,5 +70,5 @@ def test_supported_shapes():
     assert not tsm_conv_supported((4, 2, 360, 640, 64))   # N > 1
     assert not tsm_conv_supported((1, 1, 360, 640, 64))   # T < 2
     assert not tsm_conv_supported((4, 1, 360, 640, 32))   # unsupported C
-    assert pick_tile_h(360) == 8 and pick_tile_h(180) == 10
+    assert pick_tile_h(360, 320) == 15 and pick_tile_h(180, 320) == 15
     assert pick_tile_h(7) is None
