@@ -319,3 +319,31 @@ def test_shape_bucketing_bounds_executables(backend_server):
     finally:
         backend._upscaler.push_job = orig
     assert len(seen) == 1 and seen.pop()[1:3] == (64, 64), seen
+
+
+def test_bucket_padding_respects_max_pixels(backend_server, monkeypatch):
+    """ADVICE r2: SHAPE_BUCKET padding must not push the device tensor
+    past the engine-tested MAX_PIXELS — near the cap the image is
+    snapped DOWN to the bucket grid instead of padded up."""
+    import sharkshark_tpu.image_server.backend as backend_mod
+
+    base, backend = backend_server
+    monkeypatch.setattr(backend_mod, "MAX_PIXELS", 64 * 96)
+    seen = []
+    orig = backend._upscaler.push_job
+
+    def spy(entry, *a, **k):
+        seen.append(tuple(np.asarray(entry.frames).shape))
+        return orig(entry, *a, **k)
+
+    backend._upscaler.push_job = spy
+    try:
+        # 60x90 passes the raw cap (5400 <= 6144) but buckets to 64x128
+        # = 8192 without the fix
+        r = httpx.post(
+            f"{base}/upscale/image", content=_png_bytes(60, 90), timeout=60
+        )
+        assert r.status_code == 200
+    finally:
+        backend._upscaler.push_job = orig
+    assert seen and all(s[1] * s[2] <= 64 * 96 for s in seen), seen
