@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights-wdn", default=None,
                    help="denoise-variant .pth for DNI blending")
     p.add_argument("--denoise-weights", default=None, help="BSVD .pth path")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="upscaler micro-batch (default min(4, fps); 8 = "
+                        "denoise throughput mode, +1 capture window latency)")
     p.add_argument("--pix-fmt", default="rgb24", choices=["rgb24", "yuv420p"],
                    help="encoder feed format; yuv420p = device-side "
                         "colorspace conversion (half the device->host "
@@ -103,6 +106,7 @@ def main(argv=None) -> None:
         denoise_rate=args.denoise_rate,
         pix_fmt=args.pix_fmt,
         audio_skip=args.audio_queue,
+        batch_size=args.batch_size,
         **kwargs,
     )
     pipeline.start()

@@ -48,6 +48,7 @@ class UpscalePipeline:
         audio_skip: int = 0,
         report_interval: float = 3.0,
         latency_target: float | None = 4.0,
+        batch_size: int | None = None,
         recoder: Recoder | None = None,
         upscaler=None,
         streamer: Streamer | None = None,
@@ -56,7 +57,11 @@ class UpscalePipeline:
         self.url = url
         self.fps = fps
         self.frame_skips = frame_skips
-        self.small_batch_size = min(4, int(fps))
+        # reference micro-batch: min(4, fps) (pipeline.py:31); an explicit
+        # batch_size (e.g. 8 for the denoise throughput configuration,
+        # BASELINE.md round 3) trades one extra capture window of latency
+        # for BSVD chunk amortization
+        self.small_batch_size = batch_size or min(4, int(fps))
         self.report_interval = report_interval
         # latency-target shedding (seconds, None disables): when the
         # pipeline is oversubscribed (slow model or host link), queued

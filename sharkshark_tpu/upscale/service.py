@@ -330,10 +330,15 @@ class EsrganUpscalerService(BaseUpscalerService):
             self._params = {"sr": sr_params, "denoise": self._place(den)}
             self._den_state = self._place(init_denoise_state(1, spec, self.bsvd_cfg))
             # BSVD scans frames sequentially inside the jit; SR + color
-            # matching run batched over the micro-batch (steps.py)
+            # matching run batched over the micro-batch (steps.py).
+            # Past micro-batch 4 the SR stage regresses (720p batch-8
+            # activations pressure HBM) while BSVD keeps amortizing, so
+            # larger batches split the SR tail into sub-batches of 4 —
+            # exact, measured 76.8 -> 69.5 ms/frame at T=8 (BASELINE.md)
+            sr_sub = 4 if self.batch_size > 4 else None
             self._batch_denoise_step = ShapeCache(
                 lambda p, s, f: upscale_batch_denoise(
-                    sr_apply, p, s, f, spec, self.bsvd_cfg
+                    sr_apply, p, s, f, spec, self.bsvd_cfg, sr_sub_batch=sr_sub
                 )
             )
             # steady-state executable: once SHIFT_NUM real frames are in,
@@ -341,7 +346,8 @@ class EsrganUpscalerService(BaseUpscalerService):
             # mask-free graph is compiled (bsvd.chunk_step warm=True)
             self._batch_denoise_step_warm = ShapeCache(
                 lambda p, s, f: upscale_batch_denoise(
-                    sr_apply, p, s, f, spec, self.bsvd_cfg, warm=True
+                    sr_apply, p, s, f, spec, self.bsvd_cfg, warm=True,
+                    sr_sub_batch=sr_sub,
                 )
             )
             self._flush_step = ShapeCache(

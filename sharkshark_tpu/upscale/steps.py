@@ -212,6 +212,7 @@ def upscale_batch_denoise(
     spec: UpscaleSpec,
     cfg: bsvd.BSVDConfig = bsvd.BSVD_32,
     warm: bool = False,
+    sr_sub_batch: int | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Micro-batched denoise path: the whole micro-batch runs through
     BSVD in ONE layer-major chunk_step (every conv batched (T*N) on the
@@ -224,6 +225,12 @@ def upscale_batch_denoise(
     The state pytree is the same as the single path's, but chunked and
     per-frame streaming evolve their skip buffers differently — a
     service must not switch paths on one live state.
+
+    sr_sub_batch: run the SR+post tail in sub-batches of this size
+    inside the same jit.  BSVD's chunk machinery amortizes with T
+    (28.8 ms/frame at T=8 vs 36.3 at T=4 on v5e) while the SR stage's
+    720p activations regress past batch 4 (HBM pressure), so T=8 BSVD +
+    two SR sub-batches of 4 beats both uniform configurations.
     """
     img = to_float(frames)
     lr = resize(img, spec.lr_shape, "area")
@@ -241,7 +248,24 @@ def upscale_batch_denoise(
     )
     x4 = jnp.concatenate([lr_p[:, None].astype(state_dtype), noise], axis=-1)
     den, new_state = bsvd.chunk_step(params["denoise"], state, x4, cfg=cfg, warm=warm)
-    out = _denoise_postproc(sr_apply, params, den[:, 0], lr, lr_before, spec)
+    den = den[:, 0]
+    if sr_sub_batch and t > sr_sub_batch and t % sr_sub_batch == 0:
+        out = jnp.concatenate(
+            [
+                _denoise_postproc(
+                    sr_apply,
+                    params,
+                    den[i : i + sr_sub_batch],
+                    lr[i : i + sr_sub_batch],
+                    lr_before[i : i + sr_sub_batch],
+                    spec,
+                )
+                for i in range(0, t, sr_sub_batch)
+            ],
+            axis=0,
+        )
+    else:
+        out = _denoise_postproc(sr_apply, params, den, lr, lr_before, spec)
     return out, new_state
 
 

@@ -150,3 +150,28 @@ def test_denoise_handles_odd_ladder_shapes(sr_params):
     )(params, state, frames)
     assert out.shape == (2, 60, 88, 3)
     assert int(state["t"]) == 2
+
+
+def test_sr_sub_batch_is_exact(sr_params):
+    """sr_sub_batch splits only the SR+post tail (per-image color stats),
+    so outputs and state must match the unsplit step exactly."""
+    from sharkshark_tpu.upscale import upscale_batch_denoise
+
+    params = {
+        "sr": sr_params,
+        "denoise": bsvd.init_params(jax.random.PRNGKey(7), TINY_BSVD),
+    }
+    frames = jax.random.randint(
+        jax.random.PRNGKey(8), (8, 36, 64, 3), 0, 256, jnp.uint8
+    )
+    s1 = init_denoise_state(1, SPEC, TINY_BSVD)
+    s2 = init_denoise_state(1, SPEC, TINY_BSVD)
+    o1, s1 = upscale_batch_denoise(
+        _srvgg_apply, params, s1, frames, SPEC, TINY_BSVD, sr_sub_batch=4
+    )
+    o2, s2 = upscale_batch_denoise(
+        _srvgg_apply, params, s2, frames, SPEC, TINY_BSVD
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
