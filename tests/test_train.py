@@ -95,3 +95,27 @@ def test_train_step_reduces_loss():
     assert float(logs["l_total"]) < float(logs0["l_total"])
     assert int(state.step) == 11
     assert "l_pix_G" in logs and "l_warp_G" in logs
+
+
+def test_sisr_train_step_reduces_loss():
+    """Single-image SR branch (train/sisr.py, driver generator 'srvgg'):
+    repeated steps on a fixed batch must drive the pixel loss down."""
+    from sharkshark_tpu.models import srvgg
+    from sharkshark_tpu.train.sisr import (
+        SISRTrainConfig,
+        create_sisr_state,
+        make_sisr_train_step,
+    )
+
+    cfg = SISRTrainConfig(
+        model_cfg=srvgg.SRVGGConfig(num_feat=16, num_conv=2), lr=1e-3
+    )
+    state = create_sisr_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_sisr_train_step(cfg))
+    lr_data = jax.random.uniform(jax.random.PRNGKey(1), (2, 1, 8, 8, 3))
+    gt_data = jax.random.uniform(jax.random.PRNGKey(2), (2, 1, 32, 32, 3))
+    state, logs0 = step(state, lr_data, gt_data)
+    for _ in range(20):
+        state, logs = step(state, lr_data, gt_data)
+    assert float(logs["l_total"]) < float(logs0["l_total"])
+    assert int(state.step) == 21
