@@ -177,3 +177,36 @@ def test_minted_srvgg_beats_interpolation_on_holdout():
     p_sr = psnr((sr * 255).astype(np.uint8), gt, "y")
     p_bic = psnr(bic, gt, "y")
     assert p_sr > p_bic + 0.3, (p_sr, p_bic)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_w(os.path.join("minted", "egvsr-derived-x4.pth"))),
+    reason="mint weights first (configs/egvsr_derived.yml + tools/export_torch_egvsr.py)",
+)
+def test_minted_egvsr_beats_interpolation_on_holdout():
+    """Locally-trained FRNet (full recurrent VSR train path: pixel +
+    warping loss on panned sequences) must beat bicubic on a held-out
+    panned sequence through the production import path."""
+    import cv2
+    from PIL import Image
+
+    from sharkshark_tpu.models import egvsr
+    from sharkshark_tpu.train.metrics import compute_psnr as psnr
+
+    sd = torch_import.load_state_dict(_w(os.path.join("minted", "egvsr-derived-x4.pth")))
+    params = egvsr.from_torch(sd, egvsr.EGVSRConfig(nb=10))
+    img = np.asarray(Image.open(HOLDOUT).convert("RGB"))
+    # 4-frame pan, exactly the derived-dataset motion model
+    gts = [img[80 + 2 * j : 272 + 2 * j, 320 + 2 * j : 576 + 2 * j] for j in range(4)]
+    lrs = [
+        cv2.resize(g, (64, 48), interpolation=cv2.INTER_CUBIC) for g in gts
+    ]
+    lr_seq = jnp.asarray(np.stack(lrs), jnp.float32)[:, None] / 255.0
+    hr = np.asarray(
+        jnp.clip(egvsr.infer_sequence(params, lr_seq)[-1, 0], 0, 1)
+    )
+    hr_u8 = (hr * 255 + 0.5).astype(np.uint8)
+    bic = cv2.resize(lrs[-1], (256, 192), interpolation=cv2.INTER_CUBIC)
+    p_sr = psnr(hr_u8, gts[-1], "y")
+    p_bic = psnr(bic, gts[-1], "y")
+    assert p_sr > p_bic, (p_sr, p_bic)
