@@ -50,7 +50,22 @@ def _bench_egvsr(iters: int):
     return rows
 
 
-def _bench_cuts(iters: int, cut_every: int = 24):
+def _egvsr_params(weights: str | None):
+    import jax
+    import jax.numpy as jnp
+
+    from sharkshark_tpu.models import cast_params, egvsr
+
+    if weights:
+        from sharkshark_tpu.models.torch_import import load_state_dict
+
+        p = egvsr.from_torch(load_state_dict(weights), egvsr.DEFAULT)
+    else:
+        p = egvsr.init_params(jax.random.PRNGKey(0), egvsr.DEFAULT)
+    return cast_params(p, jnp.bfloat16)
+
+
+def _bench_cuts(iters: int, cut_every: int = 24, weights: str | None = None):
     """Mixed-content EGVSR at 720p (VERDICT r2 item 5): a stream of two
     panning scenes switching every `cut_every` frames, run with the
     scene-cut skip-warp fallback on vs off, plus the forced FULL-window
@@ -66,15 +81,21 @@ def _bench_cuts(iters: int, cut_every: int = 24):
 
     cfg = egvsr.DEFAULT
     h, w = 720, 1280
-    params = cast_params(egvsr.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    params = _egvsr_params(weights)
     checksum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
 
     # two panning scenes from two fixed textures: smooth motion inside a
-    # scene, a full-content switch at each cut
+    # scene, a full-content switch at each cut. Textures are low-pass
+    # filtered so a 2-px pan leaves a small frame diff (raw noise
+    # decorrelates at any shift and would trip the cut detector on
+    # EVERY frame)
+    import cv2
+
     rng = np.random.default_rng(7)
-    tex = [
-        rng.random((h + 64, w + 64, 3)).astype(np.float32) for _ in range(2)
-    ]
+    tex = []
+    for _ in range(2):
+        t = rng.random((h + 64, w + 64, 3)).astype(np.float32)
+        tex.append(cv2.GaussianBlur(t, (0, 0), 12) * 4.0 % 1.0)
     n_frames = max(2 * cut_every, 48)
     frames = []
     for i in range(n_frames):
@@ -198,13 +219,17 @@ def main(argv=None) -> None:
     p.add_argument("--suites", nargs="+", default=["sr"],
                    choices=["sr", "egvsr", "denoise", "cuts"],
                    help="which benchmark families to run")
+    p.add_argument("--egvsr-weights", default=None,
+                   help=".pth for the egvsr/cuts suites (e.g. "
+                        "weights/minted/egvsr-derived-x4.pth) — a trained "
+                        "FNet emits real rough flow at cuts")
     args = p.parse_args(argv)
 
     extra = []
     if "egvsr" in args.suites:
         extra += _bench_egvsr(args.iters)
     if "cuts" in args.suites:
-        extra += _bench_cuts(args.iters)
+        extra += _bench_cuts(args.iters, weights=args.egvsr_weights)
     if "denoise" in args.suites:
         extra += _bench_denoise(args.iters, args.batch)
     if "sr" not in args.suites:
