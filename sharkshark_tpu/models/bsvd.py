@@ -402,18 +402,53 @@ def _shift_conv_chunk_fused(p: dict, st: dict, x: jnp.ndarray, act: str):
     return y[:, None], {"left": new_left, "center": new_center}
 
 
+def _pair_chunk_fused(p, st, x, act):
+    """Both mem convs in ONE Pallas call: the intermediate y1 lives in a
+    VMEM ring across the chunk's t loop and never touches HBM."""
+    from ..ops.pallas.tsm_conv import tsm_conv_pair
+
+    t = x.shape[0]
+    fold = x.shape[-1] // 8
+    y2, y1_last2 = tsm_conv_pair(
+        x[:, 0],
+        st["c1"]["center"][0], st["c1"]["left"][0],
+        st["c2"]["center"][0], st["c2"]["left"][0],
+        p["c1"]["w"], p["c1"]["b"], p["c2"]["w"], p["c2"]["b"],
+        act=act,
+    )
+    new_c1 = {
+        "center": x[-1],
+        "left": x[-2, ..., fold : 2 * fold]
+        if t >= 2
+        else st["c1"]["center"][..., fold : 2 * fold],
+    }
+    new_c2 = {
+        "center": y1_last2[1][None],
+        "left": y1_last2[0][None, ..., fold : 2 * fold],
+    }
+    return y2[:, None], {"c1": new_c1, "c2": new_c2}
+
+
 def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
-    from ..ops.pallas.tsm_conv import tsm_conv_supported
+    import os
+
+    from ..ops.pallas.tsm_conv import tsm_conv_pair_supported, tsm_conv_supported
 
     if (
         warm
         and jax.default_backend() == "tpu"
         and x.shape[-1] in _tsm_channels()
-        and tsm_conv_supported(x.shape)
     ):
-        y, s1 = _shift_conv_chunk_fused(p["c1"], st["c1"], x, act)
-        y, s2 = _shift_conv_chunk_fused(p["c2"], st["c2"], y, act)
-        return y, {"c1": s1, "c2": s2}
+        if (
+            os.environ.get("SHARKSHARK_TSM_PAIR", "1") != "0"
+            and tsm_conv_pair_supported(x.shape)
+            and x.shape[0] >= 2
+        ):
+            return _pair_chunk_fused(p, st, x, act)
+        if tsm_conv_supported(x.shape):
+            y, s1 = _shift_conv_chunk_fused(p["c1"], st["c1"], x, act)
+            y, s2 = _shift_conv_chunk_fused(p["c2"], st["c2"], y, act)
+            return y, {"c1": s1, "c2": s2}
     if not warm:
         x = _window_mask(x, first_idx, t_end)
     y, s1 = _shift_conv_chunk(p["c1"], st["c1"], x, act)

@@ -72,3 +72,44 @@ def test_supported_shapes():
     assert not tsm_conv_supported((4, 1, 360, 640, 32))   # unsupported C
     assert pick_tile_h(360, 320) == 15 and pick_tile_h(180, 320) == 15
     assert pick_tile_h(7) is None
+
+
+@pytest.mark.parametrize("t,h,w,c", [(4, 16, 8, 64), (2, 24, 16, 128), (3, 16, 8, 64)])
+def test_tsm_conv_pair_matches_sequential(t, h, w, c):
+    """Pair-fused kernel == two sequential _shift_conv_chunk calls (warm
+    regime), including the y1 carry for the next chunk."""
+    from sharkshark_tpu.ops.pallas.tsm_conv import tsm_conv_pair
+
+    x, center, left, w1, b1 = _mk(t, h, w, c)
+    _, center2, left2, w2, b2 = _mk(t, h, w, c)
+    st1 = {"left": left, "center": center}
+    st2 = {"left": left2, "center": center2}
+    y1_ref, ns1 = bsvd._shift_conv_chunk(
+        {"w": w1.astype(jnp.bfloat16), "b": b1},
+        {"left": left.astype(jnp.bfloat16), "center": center.astype(jnp.bfloat16)},
+        x.astype(jnp.bfloat16), "relu6")
+    y2_ref, ns2 = bsvd._shift_conv_chunk(
+        {"w": w2.astype(jnp.bfloat16), "b": b2},
+        {"left": left2.astype(jnp.bfloat16), "center": center2.astype(jnp.bfloat16)},
+        y1_ref, "relu6")
+
+    got_y2, got_y1_last2 = tsm_conv_pair(
+        x[:, 0].astype(jnp.bfloat16),
+        center[0].astype(jnp.bfloat16), left[0].astype(jnp.bfloat16),
+        center2[0].astype(jnp.bfloat16), left2[0].astype(jnp.bfloat16),
+        w1, b1, w2, b2, act="relu6", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_y2[:, None]).astype(np.float32),
+        np.asarray(y2_ref).astype(np.float32), rtol=0.06, atol=0.06,
+    )
+    # next-chunk c2 carry: y1 of the last two frames
+    np.testing.assert_allclose(
+        np.asarray(got_y1_last2[1]).astype(np.float32),
+        np.asarray(ns2["center"][0]).astype(np.float32), rtol=0.06, atol=0.06,
+    )
+    fold = c // 8
+    np.testing.assert_allclose(
+        np.asarray(got_y1_last2[0, ..., fold:2*fold]).astype(np.float32),
+        np.asarray(ns2["left"][0]).astype(np.float32), rtol=0.06, atol=0.06,
+    )
