@@ -188,10 +188,14 @@ class ImageBackend:
         pw = -bw % SHAPE_BUCKET
         if (bh + ph) * (bw + pw) > MAX_PIXELS:
             # padding would push the device tensor past the engine-tested
-            # maximum (ADVICE r2): snap DOWN to the bucket grid instead
+            # maximum (ADVICE r2): CROP down to the bucket grid instead
+            # (<=63 px off the bottom/right edge at the cap boundary;
+            # cropping keeps geometry — a non-uniform resize would bake
+            # aspect distortion into the upscale)
             bh2 = max(SHAPE_BUCKET, bh // SHAPE_BUCKET * SHAPE_BUCKET)
             bw2 = max(SHAPE_BUCKET, bw // SHAPE_BUCKET * SHAPE_BUCKET)
-            img = cv2.resize(img, (bw2, bh2), interpolation=cv2.INTER_AREA)
+            img = img[:bh2, :bw2]
+            bh, bw = bh2, bw2
             ph = pw = 0
         if ph or pw:
             img = cv2.copyMakeBorder(img, 0, ph, 0, pw, cv2.BORDER_REPLICATE)

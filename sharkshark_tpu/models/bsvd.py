@@ -441,11 +441,11 @@ def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
     ):
         if (
             os.environ.get("SHARKSHARK_TSM_PAIR", "1") != "0"
-            and tsm_conv_pair_supported(x.shape)
+            and tsm_conv_pair_supported(x.shape, x.dtype)
             and x.shape[0] >= 2
         ):
             return _pair_chunk_fused(p, st, x, act)
-        if tsm_conv_supported(x.shape):
+        if tsm_conv_supported(x.shape, x.dtype):
             y, s1 = _shift_conv_chunk_fused(p["c1"], st["c1"], x, act)
             y, s2 = _shift_conv_chunk_fused(p["c2"], st["c2"], y, act)
             return y, {"c1": s1, "c2": s2}

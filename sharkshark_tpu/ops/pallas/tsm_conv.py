@@ -77,11 +77,20 @@ def pick_tile_h(h: int, wp: int | None = None) -> int | None:
     for th in range(4, min(h // 2, 64) + 1):
         if h % th == 0 and vmem(th) <= _VMEM_BUDGET:
             best = th
+    # a height whose only fitting divisor is tiny (e.g. 316 -> 4) would
+    # run 2-3x more grid steps than the XLA path is worth — reject and
+    # let the caller fall back (the ~30us/step overhead dominates then)
+    if best is not None and (best < 6 or h // best > 40):
+        return None
     return best
 
 
-def tsm_conv_supported(x_shape: tuple[int, ...]) -> bool:
-    """(T, N, H, W, C) supported by the kernel?"""
+def tsm_conv_supported(x_shape: tuple[int, ...], dtype=None) -> bool:
+    """(T, N, H, W, C) supported by the kernel?  dtype, when given, must
+    be bf16 — the VMEM budget in pick_tile_h assumes 2-byte elements
+    (f32 rings would overflow VMEM at the chosen tile)."""
+    if dtype is not None and dtype != jnp.bfloat16:
+        return False
     if len(x_shape) != 5:
         return False
     t, n, h, w, c = x_shape
@@ -319,10 +328,14 @@ def pick_tile_h_pair(h: int, wp: int | None = None) -> int | None:
     for th in range(4, min(h // 2, 64) + 1):
         if h % th == 0 and vmem(th) <= _VMEM_BUDGET:
             best = th
+    if best is not None and (best < 4 or h // best > 64):
+        return None
     return best
 
 
-def tsm_conv_pair_supported(x_shape: tuple[int, ...]) -> bool:
+def tsm_conv_pair_supported(x_shape: tuple[int, ...], dtype=None) -> bool:
+    if dtype is not None and dtype != jnp.bfloat16:
+        return False
     if len(x_shape) != 5:
         return False
     t, n, h, w, c = x_shape

@@ -172,8 +172,20 @@ class UpscalePipeline:
             except queue.Empty:
                 break
             if not isinstance(dropped, UpscalerQueueEntry):
-                # never shed control sentinels (EOF/exit)
-                q.put_nowait(dropped)
+                # control sentinel (EOF/exit) popped: restore it and stop
+                # shedding. Re-insertion must never fail — drop entries
+                # until it fits (a lost sentinel hangs the join)
+                while True:
+                    try:
+                        q.put_nowait(dropped)
+                        break
+                    except queue.Full:
+                        try:
+                            victim = q.get_nowait()
+                            if isinstance(victim, UpscalerQueueEntry):
+                                self.skipped_batches += 1
+                        except queue.Empty:
+                            pass
                 break
             self.skipped_batches += 1
 
@@ -208,9 +220,14 @@ class UpscalePipeline:
             return
         prof = entry.profiler
         if "upscaler.upscale" in prof.data and len(entry.frames):
+            # host-observable work per frame: dispatch + blocking fetch
+            # (ring residency excluded — see upscale/service.py)
+            work = prof.data["upscaler.upscale"] + prof.data.get(
+                "upscaler.fetch", 0.0
+            )
             prof.set(
                 "upscaler.upscale.per_frame_ms",
-                prof.data["upscaler.upscale"] / len(entry.frames) * 1000,
+                work / len(entry.frames) * 1000,
             )
         # north-star telemetry (BASELINE.md): frame latency percentiles
         # and drop percentage

