@@ -439,8 +439,13 @@ def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
         and jax.default_backend() == "tpu"
         and x.shape[-1] in _tsm_channels()
     ):
+        # pair fusion measured SLOWER at production shapes (37.8 vs 36.4
+        # ms/frame warm chunk at 720p/T=4, outputs bit-identical): its
+        # doubled VMEM footprint forces tile_h 6 vs 15, and the extra
+        # grid steps cost more than the saved y1 HBM round-trip.
+        # Kept behind the env gate for future tuning (BASELINE.md r3).
         if (
-            os.environ.get("SHARKSHARK_TSM_PAIR", "1") != "0"
+            os.environ.get("SHARKSHARK_TSM_PAIR", "0") == "1"
             and tsm_conv_pair_supported(x.shape, x.dtype)
             and x.shape[0] >= 2
         ):
