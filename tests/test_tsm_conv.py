@@ -113,3 +113,15 @@ def test_tsm_conv_pair_matches_sequential(t, h, w, c):
         np.asarray(got_y1_last2[0, ..., fold:2*fold]).astype(np.float32),
         np.asarray(ns2["left"][0]).astype(np.float32), rtol=0.06, atol=0.06,
     )
+
+
+def test_supported_gates_dtype_and_degenerate_grids():
+    """f32 would overflow the 2-byte VMEM budget (falls back to XLA);
+    heights whose only divisor yields a degenerate grid are rejected."""
+    import jax.numpy as jnp
+
+    assert tsm_conv_supported((4, 1, 360, 640, 64), jnp.bfloat16)
+    assert not tsm_conv_supported((4, 1, 360, 640, 64), jnp.float32)
+    # H=316 (630p rung padded /2): only divisor in range is 4 -> 79 tiles
+    assert pick_tile_h(316, 320) is None
+    assert not tsm_conv_supported((4, 1, 316, 640, 64))
