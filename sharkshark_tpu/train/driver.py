@@ -96,6 +96,32 @@ def define_generator(opt: dict):
             "from_torch": lambda sd: srvgg.from_torch(sd, cfg),
         }
 
+    if name == "bsvd":
+        # denoise "generator": same-resolution, noise-map-conditioned
+        # (train/denoise.py — capability extension; the reference ships
+        # BSVD pretrained-only).  test-mode infer treats the dataset's
+        # lr clip as the NOISY input at test.noise_sigma.
+        from ..models import bsvd as B
+
+        variant = opt["model"]["generator"].get("variant", 32)
+        cfg = B.BSVD_64 if int(variant) == 64 else B.BSVD_32
+        sigma = float(opt.get("test", {}).get("noise_sigma", 25.0)) / 255.0
+
+        def infer(p, lr):
+            from .denoise import clip_forward
+
+            nmap = jnp.full(lr.shape[:-1] + (1,), sigma, lr.dtype)
+            x = jnp.concatenate([lr, nmap], axis=-1)[:, None]  # (T,1,H,W,4)
+            return clip_forward(p, x, cfg=cfg)[:, 0]
+
+        return {
+            "name": name,
+            "cfg": cfg,
+            "init": lambda key: B.init_params(key, cfg),
+            "infer": infer,
+            "from_torch": lambda sd: B.from_torch(sd, cfg),
+        }
+
     from ..models import variants as V
 
     if name == "espnet":
@@ -209,6 +235,31 @@ def _build_training(opt: dict):
         sched = define_lr_schedule(gtr.get("lr_schedule"), cfg.lr)
         state = create_sisr_state(jax.random.PRNGKey(seed), cfg, sched)
         step_fn = jax.jit(make_sisr_train_step(cfg, sched))
+        return state, step_fn, lambda s: s.params
+
+    if opt["model"]["generator"].get("name", "FRNet").lower() == "bsvd":
+        from .denoise import (
+            DenoiseTrainConfig,
+            create_denoise_state,
+            make_denoise_train_step,
+        )
+
+        gen = define_generator(opt)
+        nopt = opt["train"].get("noise", {})
+        cfg = DenoiseTrainConfig(
+            model_cfg=gen["cfg"],
+            lr=gtr.get("lr", 1e-4),
+            beta1=gtr.get("beta1", 0.9),
+            beta2=gtr.get("beta2", 0.999),
+            pixel_crit=opt["train"].get("pixel_crit"),
+            pixel_weight=opt["train"].get("pixel_crit", {}).get("weight", 1.0),
+            sigma_min=float(nopt.get("sigma_min", 10.0)) / 255.0,
+            sigma_max=float(nopt.get("sigma_max", 50.0)) / 255.0,
+            noise_seed=opt.get("manual_seed", 0),
+        )
+        sched = define_lr_schedule(gtr.get("lr_schedule"), cfg.lr)
+        state = create_denoise_state(jax.random.PRNGKey(seed), cfg, sched)
+        step_fn = jax.jit(make_denoise_train_step(cfg, sched))
         return state, step_fn, lambda s: s.params
 
     mcfg = _model_cfg(opt)

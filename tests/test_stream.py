@@ -70,7 +70,10 @@ def test_raw_frame_source_via_fake_ffmpeg(tmp_path, monkeypatch):
     ).start()
     frames = []
     while True:
-        f = src.grab(timeout=10)
+        # generous: grab() returns None on timeout as well as EOF, and a
+        # loaded CI box (full suite + chip jobs) can stall the fake-ffmpeg
+        # spawn well past 10 s — a short timeout here reads as a 0-frame EOF
+        f = src.grab(timeout=60)
         if f is None:
             break
         frames.append(f)

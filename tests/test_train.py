@@ -119,3 +119,88 @@ def test_sisr_train_step_reduces_loss():
         state, logs = step(state, lr_data, gt_data)
     assert float(logs["l_total"]) < float(logs0["l_total"])
     assert int(state.step) == 21
+
+
+def test_denoise_clip_forward_matches_scan_path():
+    """train/denoise.clip_forward (one layer-major chunk over clip +
+    SHIFT_NUM flush) must equal bsvd.denoise_clip (the scan path that is
+    itself bit-matched against the reference streaming protocol)."""
+    from sharkshark_tpu.models import bsvd
+    from sharkshark_tpu.train.denoise import clip_forward
+
+    params = bsvd.init_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 1, 16, 16, 4))
+    a = clip_forward(params, x)
+    b = bsvd.denoise_clip(params, x)
+    assert a.shape == b.shape == (5, 1, 16, 16, 3)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+def test_denoise_train_step_reduces_loss():
+    """BSVD denoise branch (train/denoise.py, driver generator 'bsvd'):
+    blind-Gaussian noise is sampled on device per step; repeated steps on
+    a fixed clean batch must drive the Charbonnier loss down."""
+    from sharkshark_tpu.train.denoise import (
+        DenoiseTrainConfig,
+        create_denoise_state,
+        make_denoise_train_step,
+    )
+
+    cfg = DenoiseTrainConfig(lr=1e-3)
+    state = create_denoise_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_denoise_train_step(cfg))
+    gt = jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
+    state, logs0 = step(state, None, gt)
+    for _ in range(10):
+        state, logs = step(state, None, gt)
+    assert float(logs["l_total"]) < float(logs0["l_total"])
+    assert int(state.step) == 11
+    assert 10.0 / 255.0 <= float(logs["sigma_mean"]) <= 50.0 / 255.0
+
+
+def test_denoise_noise_stream_is_restart_stable():
+    """Resuming from iter k must replay the same noise (the step derives
+    its PRNG from noise_seed + state.step, not from a host RNG)."""
+    from sharkshark_tpu.train.denoise import (
+        DenoiseTrainConfig,
+        create_denoise_state,
+        make_denoise_train_step,
+    )
+
+    cfg = DenoiseTrainConfig(lr=1e-3)
+    step = jax.jit(make_denoise_train_step(cfg))
+    gt = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 16, 16, 3))
+
+    s = create_denoise_state(jax.random.PRNGKey(0), cfg)
+    s, _ = step(s, None, gt)
+    _, logs_a = step(s, None, gt)
+
+    # "resume": fresh optimizer replays from the same params/step
+    s2 = create_denoise_state(jax.random.PRNGKey(0), cfg)._replace(
+        params=s.params, step=s.step
+    )
+    _, logs_b = step(s2, None, gt)
+    assert float(logs_a["sigma_mean"]) == float(logs_b["sigma_mean"])
+    assert float(logs_a["l_pix_G"]) == float(logs_b["l_pix_G"])
+
+
+def test_export_torch_bsvd_round_trip():
+    """tools/export_torch_bsvd params_to_state_dict must invert
+    models/bsvd.from_torch exactly (the minted-weight production path)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import numpy as np
+    from export_torch_bsvd import params_to_state_dict
+
+    from sharkshark_tpu.models import bsvd
+
+    params = bsvd.init_params(jax.random.PRNGKey(3))
+    sd = {k: v.numpy() for k, v in params_to_state_dict(params).items()}
+    back = bsvd.from_torch(sd)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        assert np.allclose(np.asarray(a), np.asarray(b))

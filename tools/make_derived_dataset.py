@@ -66,6 +66,12 @@ def main() -> None:
     ap.add_argument("--scale", type=int, default=4)
     ap.add_argument("--pan", type=int, default=8, help="max px pan per frame")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--val-tempo", type=int, default=1,
+                    help=">1: val becomes panned T-frame crop sequences "
+                    "(temporal-model eval) instead of one full frame")
+    ap.add_argument("--noisy-sigma", type=float, default=0.0,
+                    help=">0: also write val/noisy clips (GT + deterministic "
+                    "Gaussian noise at this sigma/255) for denoise eval")
     args = ap.parse_args()
 
     rng = random.Random(args.seed)
@@ -111,15 +117,42 @@ def main() -> None:
                 lr_of(gt, s),
             )
 
+    noise_rng = np.random.RandomState(args.seed + 1)
     for p in val_paths:
         im = load_rgb(p)
         h, w = im.shape[:2]
-        # full frame, trimmed to a multiple of scale
-        gt = im[: h // s * s, : w // s * s]
         seq = os.path.splitext(os.path.basename(p))[0]
-        save_png(os.path.join(args.out, "val", "GT", seq, "0000.png"), gt)
-        save_png(os.path.join(args.out, "val", "LR", seq, "0000.png"), lr_of(gt, s))
-    print(f"wrote {args.seqs} train seqs (T={t}) + {len(val_paths)} val frames to {args.out}")
+        if args.val_tempo > 1:
+            # panned T-frame crop sequence (same motion statistics as train)
+            tv = args.val_tempo
+            cv = min(c, h - pan * (tv - 1), w - pan * (tv - 1))
+            cv = cv // s * s
+            y0 = (h - cv - pan * (tv - 1)) // 2
+            x0 = (w - cv - pan * (tv - 1)) // 2
+            frames = [
+                np.ascontiguousarray(
+                    im[y0 + pan * j : y0 + pan * j + cv,
+                       x0 + pan * j : x0 + pan * j + cv]
+                )
+                for j in range(tv)
+            ]
+        else:
+            frames = [im[: h // s * s, : w // s * s]]
+        for j, gt in enumerate(frames):
+            save_png(os.path.join(args.out, "val", "GT", seq, f"{j:04d}.png"), gt)
+            save_png(
+                os.path.join(args.out, "val", "LR", seq, f"{j:04d}.png"),
+                lr_of(gt, s),
+            )
+            if args.noisy_sigma > 0:
+                noisy = gt.astype(np.float32) + noise_rng.normal(
+                    0.0, args.noisy_sigma, gt.shape
+                )
+                save_png(
+                    os.path.join(args.out, "val", "noisy", seq, f"{j:04d}.png"),
+                    np.clip(noisy + 0.5, 0, 255).astype(np.uint8),
+                )
+    print(f"wrote {args.seqs} train seqs (T={t}) + {len(val_paths)} val seqs to {args.out}")
 
 
 if __name__ == "__main__":
