@@ -210,3 +210,39 @@ def test_minted_egvsr_beats_interpolation_on_holdout():
     p_sr = psnr(hr_u8, gts[-1], "y")
     p_bic = psnr(bic, gts[-1], "y")
     assert p_sr > p_bic, (p_sr, p_bic)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_w(os.path.join("minted", "bsvd-derived-32.pth"))),
+    reason="mint weights first (configs/bsvd_derived.yml + tools/export_torch_bsvd.py)",
+)
+def test_minted_bsvd_denoises_holdout_clip():
+    """Locally-trained production-architecture BSVD (train/denoise.py
+    blind-Gaussian recipe — a capability extension: the reference ships
+    bsvd-32/64.pth pretrained-only with no train path) must clean a
+    noisy held-out panned clip well past the noisy input's PSNR through
+    the production import path + streaming-equivalent clip forward."""
+    from PIL import Image
+
+    from sharkshark_tpu.models import bsvd
+    from sharkshark_tpu.train.metrics import compute_psnr as psnr
+
+    sd = torch_import.load_state_dict(_w(os.path.join("minted", "bsvd-derived-32.pth")))
+    params = bsvd.from_torch(sd, bsvd.BSVD_32)
+    img = np.asarray(Image.open(HOLDOUT).convert("RGB"))
+    # 4-frame pan over the holdout (derived-dataset motion model)
+    gts = np.stack(
+        [img[80 + 2 * j : 272 + 2 * j, 320 + 2 * j : 576 + 2 * j] for j in range(4)]
+    )
+    sigma = 25.0 / 255.0
+    rng = np.random.RandomState(7)
+    clean = gts.astype(np.float32) / 255.0
+    noisy = clean + rng.normal(0.0, sigma, clean.shape).astype(np.float32)
+    nmap = np.full(clean.shape[:-1] + (1,), sigma, np.float32)
+    x = jnp.asarray(np.concatenate([noisy, nmap], axis=-1))[:, None]
+    den = np.asarray(jnp.clip(bsvd.denoise_clip(params, x)[:, 0], 0, 1))
+    den_u8 = (den * 255 + 0.5).astype(np.uint8)
+    noisy_u8 = (np.clip(noisy, 0, 1) * 255 + 0.5).astype(np.uint8)
+    p_den = np.mean([psnr(den_u8[j], gts[j], "y") for j in range(4)])
+    p_noisy = np.mean([psnr(noisy_u8[j], gts[j], "y") for j in range(4)])
+    assert p_den > p_noisy + 3.0, (p_den, p_noisy)

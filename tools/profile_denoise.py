@@ -83,6 +83,42 @@ if __name__ == "__main__":
     print(json.dumps({"part": "bsvd", "ms_per_frame": round(ms / T, 2),
                       "ms_per_chunk": round(ms, 1)}), flush=True)
 
+    # --- warm chunk with the carry threaded through iterations, with and
+    # without buffer donation of the state arg (ROADMAP lever b: donated
+    # state lets XLA alias the skip-FIFO buffers in place instead of
+    # rewriting them into fresh outputs each step)
+    def bench_threaded(fn, p, state, x, iters):
+        out, state = fn(p, state, x)
+        float(checksum(out))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, state = fn(p, state, x)
+        float(checksum(out))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    for name, donate in (("bsvd_warm", ()), ("bsvd_warm_donated", (1,))):
+        state = init_denoise_state(1, spec)
+        fn = jax.jit(
+            lambda p, s, x: bsvd.chunk_step(p, s, x, warm=True),
+            donate_argnums=donate,
+        )
+        ms = bench_threaded(fn, params["denoise"], state, x4, args.iters)
+        print(json.dumps({"part": name, "ms_per_frame": round(ms / T, 2),
+                          "ms_per_chunk": round(ms, 1)}), flush=True)
+
+    for name, donate in (("full_warm", ()), ("full_warm_donated", (1,))):
+        state = init_denoise_state(1, spec)
+        fn = jax.jit(
+            lambda p, s, f: upscale_batch_denoise(
+                lambda q, x: srvgg.apply_down2(q, x, cfg=cfg), p, s, f, spec,
+                warm=True,
+            ),
+            donate_argnums=donate,
+        )
+        ms = bench_threaded(fn, params, state, frames, args.iters)
+        print(json.dumps({"part": name, "ms_per_frame": round(ms / T, 2),
+                          "ms_per_chunk": round(ms, 1)}), flush=True)
+
     # --- raw conv stack at the same shapes (both DenBlocks, no machinery)
     def denblock_raw(p, x):
         act = "relu6"
