@@ -322,6 +322,71 @@ def infer_sequence(params: dict, lr_data: jnp.ndarray, *, cfg: EGVSRConfig = DEF
     return hr
 
 
+def infer_chunk(
+    params: dict,
+    state: tuple,
+    lr_chunk: jnp.ndarray,
+    *,
+    cfg: EGVSRConfig = DEFAULT,
+    fast_warp: bool = True,
+    cut_threshold: float | None = None,
+) -> tuple[jnp.ndarray, tuple]:
+    """Streaming inference over a micro-batch with BATCHED flow.
+
+    lr_chunk: (T, N, H, W, C) -> ((T, N, sH, sW, C), new_state).
+
+    Same recurrence as T x infer_step, but FNet (which depends only on
+    the lr frames, all co-resident in the micro-batch — no added
+    latency) runs ONCE at batch T*N instead of T times at N — the same
+    trick the training unroll uses (forward_sequence above).  Only the
+    warp + SRNet recurrence scans.  NOTE: measured NEUTRAL on the dev
+    v5e at 720p (fnet N=4 18.1 ms/frame vs N=1 16.4 — the fnet is
+    HBM-bound there, not MXU-lane-bound), so the live service keeps the
+    per-frame step by default.
+    cut_threshold keeps the per-frame skip-warp cond (the flow for a cut
+    frame is computed-but-unused here; the batched call amortizes it).
+    """
+    t, n, h, w, c = lr_chunk.shape
+    s = cfg.scale
+    lr_prev0, hr_prev = state
+    prevs = jnp.concatenate([lr_prev0[None], lr_chunk[:-1]], axis=0)
+
+    flow = fnet_apply(
+        params["fnet"],
+        lr_chunk.reshape(t * n, h, w, c),
+        prevs.reshape(t * n, h, w, c),
+    )
+    pad_h, pad_w = h - flow.shape[-3], w - flow.shape[-2]
+    if pad_h or pad_w:
+        flow = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
+    hr_flow = jnp.asarray(float(s), flow.dtype) * resize(
+        flow, (h * s, w * s), "bilinear"
+    )
+    hr_flow = hr_flow.reshape(t, n, h * s, w * s, 2)
+    warp = backward_warp_fast if fast_warp else backward_warp
+
+    def body(carry, inp):
+        lr_i, prev_i, flow_i = inp
+
+        def do_warp():
+            return warp(carry, flow_i).astype(lr_i.dtype)
+
+        if cut_threshold is None:
+            hr_warp = do_warp()
+        else:
+            diff = jnp.mean(
+                jnp.abs(lr_i.astype(jnp.float32) - prev_i.astype(jnp.float32))
+            )
+            hr_warp = jax.lax.cond(
+                diff > cut_threshold, lambda: carry.astype(lr_i.dtype), do_warp
+            )
+        hr = srnet_apply(params["srnet"], lr_i, space_to_depth(hr_warp, s))
+        return hr, hr
+
+    hr_last, hrs = jax.lax.scan(body, hr_prev, (lr_chunk, prevs, hr_flow))
+    return hrs, (lr_chunk[-1], hr_last)
+
+
 def from_torch(sd: dict[str, np.ndarray], cfg: EGVSRConfig = DEFAULT) -> dict:
     """Key map per reference FNet/SRNet module layout (egvsr.py:16-130)."""
     fnet = {

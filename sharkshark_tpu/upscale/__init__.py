@@ -7,6 +7,7 @@ from .steps import (
     flush_batch_denoise,
     init_denoise_state,
     egvsr_upscale_step,
+    egvsr_upscale_chunk,
 )
 from .tile import tile_upscale
 from .jit_cache import ShapeCache, enable_persistent_cache
@@ -21,7 +22,7 @@ __all__ = [
     "LR_LEVELS", "HR_LEVELS", "lr_shape_for_level", "hr_shape_for_level",
     "UpscaleSpec", "upscale_multi", "upscale_single_denoise", "upscale_batch_denoise",
     "flush_batch_denoise",
-    "init_denoise_state", "egvsr_upscale_step",
+    "init_denoise_state", "egvsr_upscale_step", "egvsr_upscale_chunk",
     "tile_upscale", "ShapeCache", "enable_persistent_cache",
     "UpscalerQueueEntry", "BaseUpscalerService",
     "EsrganUpscalerService", "EgvsrUpscalerService",

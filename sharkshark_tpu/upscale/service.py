@@ -36,6 +36,7 @@ from .jit_cache import ShapeCache, enable_persistent_cache
 from .levels import LR_LEVELS
 from .steps import (
     UpscaleSpec,
+    egvsr_upscale_chunk,
     egvsr_upscale_step,
     flush_batch_denoise,
     init_denoise_state,
@@ -513,9 +514,30 @@ class EgvsrUpscalerService(BaseUpscalerService):
                 p, s, f, spec, cut_threshold=self.cut_threshold
             )
         )
+        # micro-batch executable: flow for all T co-resident frames in ONE
+        # batched fnet call (egvsr.infer_chunk).  Measured NEUTRAL on this
+        # chip (110.8 vs 109.1 ms/frame at 720p/T=4, tools/profile_egvsr.py):
+        # the fnet at 720p is bandwidth-bound, so batching does not recover
+        # its N=1 width loss (fnet N=4 18.1 ms/frame vs N=1 16.4) — and each
+        # distinct tail-batch size would compile its own multi-minute 720p
+        # executable.  Default OFF; SHARKSHARK_EGVSR_CHUNK=1 enables.
+        import os
+
+        self._use_chunk = os.environ.get("SHARKSHARK_EGVSR_CHUNK", "0") == "1"
+        self._chunk_step = ShapeCache(
+            lambda p, s, f: egvsr_upscale_chunk(
+                p, s, f, spec, cut_threshold=self.cut_threshold
+            )
+        )
 
     def upscale_dispatch(self, frames):
         frames = np.asarray(frames)
+        if self._use_chunk and len(frames) > 1:
+            out, self._state = self._chunk_step(
+                self._params, self._state, jnp.asarray(frames)
+            )
+            self._host_async(out)
+            return out, len(frames)
         outs = []
         for i in range(len(frames)):
             out, self._state = self._step(

@@ -172,3 +172,37 @@ def test_cut_skip_warp_fallback():
     np.testing.assert_allclose(
         np.asarray(out_cond), np.asarray(out_ref), atol=1e-4
     )
+
+
+def test_infer_chunk_matches_stepwise():
+    """infer_chunk (batched fnet + scanned SRNet recurrence) must match
+    the per-frame infer_step recurrence, including a mid-chunk scene cut
+    handled by the skip-warp cond, and must update the carry to the same
+    state."""
+    params = egvsr.init_params(jax.random.PRNGKey(4), CFG)
+    frames = RNG.random((4, 1, 16, 16, 3)).astype(np.float32)
+    frames[2] = 1.0 - frames[1]  # scene cut at index 2
+    frames = jnp.asarray(frames)
+
+    for cut in (None, 0.12):
+        state = egvsr.init_recurrent_state(1, 16, 16, CFG)
+        outs = []
+        for f in frames:
+            y, state = egvsr.infer_step(
+                params, state, f, cfg=CFG, fast_warp=False, cut_threshold=cut
+            )
+            outs.append(np.asarray(y))
+
+        state_c = egvsr.init_recurrent_state(1, 16, 16, CFG)
+        chunk, state_c = egvsr.infer_chunk(
+            params, state_c, frames, cfg=CFG, fast_warp=False, cut_threshold=cut
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunk), np.stack(outs), rtol=1e-2, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_c[0]), np.asarray(state[0]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_c[1]), np.asarray(state[1]), rtol=1e-2, atol=1e-3
+        )

@@ -192,3 +192,32 @@ def test_hr_ladder_output_shapes(out_shape):
     frames = np.random.RandomState(3).randint(0, 256, (2, 36, 64, 3), np.uint8)
     out = svc.upscale(frames)
     assert out.shape == (2, *out_shape, 3), out.shape
+
+
+def test_egvsr_service_chunk_gate_matches_per_frame(monkeypatch):
+    """SHARKSHARK_EGVSR_CHUNK=1 routes micro-batches through the one-
+    executable chunk step (batched fnet + scanned recurrence); outputs
+    and carried state must match the default per-frame dispatch.
+    (Measured neutral on the dev chip — the gate exists for parity and
+    for hardware where N=1 fnet width loss is real.)"""
+
+    def make(chunk: bool):
+        monkeypatch.setenv("SHARKSHARK_EGVSR_CHUNK", "1" if chunk else "0")
+        svc = EgvsrUpscalerService(
+            lr_level=0, output_shape=(72, 128),
+            compute_dtype=jnp.float32, cfg=TINY_EGVSR,
+        )
+        svc.lr_shape = (36, 64)
+        svc.proc_init()
+        return svc
+
+    frames = np.random.RandomState(9).randint(0, 256, (3, 36, 64, 3), np.uint8)
+    a = make(False)
+    b = make(True)
+    assert b._use_chunk and not a._use_chunk
+    for _ in range(2):
+        out_a = a.upscale(frames)
+        out_b = b.upscale(frames)
+        np.testing.assert_allclose(
+            out_a.astype(np.int16), out_b.astype(np.int16), atol=1
+        )

@@ -63,3 +63,12 @@ if __name__ == "__main__":
     bench("full_infer_step", jax.jit(
         lambda p, st, x: egvsr.infer_step(p, st, x, cfg=cfg)),
         params, egvsr.init_recurrent_state(1, H, W, cfg, jnp.bfloat16), lr)
+
+    # micro-batch path: fnet batched at T, warp+srnet recurrence scanned
+    T = 4
+    chunk = jax.random.uniform(key, (T, 1, H, W, 3), dtype=jnp.bfloat16)
+    ms = bench(f"full_infer_chunk_T{T}", jax.jit(
+        lambda p, st, x: egvsr.infer_chunk(p, st, x, cfg=cfg)),
+        params, egvsr.init_recurrent_state(1, H, W, cfg, jnp.bfloat16), chunk)
+    print(json.dumps({"part": f"infer_chunk_T{T}_per_frame", "ms": round(ms / T, 2)}),
+          flush=True)
