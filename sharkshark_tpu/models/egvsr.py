@@ -30,6 +30,7 @@ from ..ops import (
     pixel_shuffle,
     resize,
     space_to_depth,
+    upsample_tecogan,
 )
 from .torch_import import conv_from_torch
 
@@ -44,6 +45,23 @@ class EGVSRConfig(NamedTuple):
 
 
 DEFAULT = EGVSRConfig()
+# the reference's PRODUCTION instantiation (egvsr_upscaler.py:26):
+# FRNet(in_nc=3, out_nc=3, nf=64, nb=10, degradation='BD', scale=4) —
+# 10 residual blocks (not the class default 16) and the TecoGAN bicubic
+# flow upsample.  EGVSR_iter420000.pth is trained at this shape.
+PRODUCTION = EGVSRConfig(nb=10, degradation="BD")
+
+
+def _upsample_flow(flow: jnp.ndarray, h: int, w: int, cfg: EGVSRConfig) -> jnp.ndarray:
+    """scale * upsample(flow) per the reference's get_upsampling_func
+    (net_utils.py:36-166): BI -> bilinear align_corners=False; BD -> the
+    TecoGAN grouped-conv bicubic (upsample_tecogan)."""
+    s = cfg.scale
+    if cfg.degradation == "BD":
+        up = upsample_tecogan(flow, s)
+    else:
+        up = resize(flow, (h * s, w * s), "bilinear")
+    return jnp.asarray(float(s), flow.dtype) * up
 
 
 def _conv_init(key, kh, kw, i, o):
@@ -203,9 +221,7 @@ def frnet_step(
             flow_p = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
         else:
             flow_p = flow
-        hr_flow = jnp.asarray(float(s), flow_p.dtype) * resize(
-            flow_p, (h * s, w * s), "bilinear"
-        )
+        hr_flow = _upsample_flow(flow_p, h, w, cfg)
         # NOTE: two s2d-avoidance reformulations are measured negatives:
         # (a) planar-warp-output + strided-conv_in fold — 17.3 vs 11.1 ms at
         # 2160p, the 12x12/s4 C_in=3 conv is MXU-hostile
@@ -279,7 +295,7 @@ def forward_sequence(params: dict, lr_data: jnp.ndarray, *, cfg: EGVSRConfig = D
     pad_h, pad_w = h - lr_flow.shape[-3], w - lr_flow.shape[-2]
     if pad_h or pad_w:
         lr_flow = pad2d(lr_flow, (0, pad_w, 0, pad_h), mode="reflect")
-    hr_flow = jnp.asarray(float(s), lr_flow.dtype) * resize(lr_flow, (h * s, w * s), "bilinear")
+    hr_flow = _upsample_flow(lr_flow, h, w, cfg)
     hr_flow_seq = hr_flow.reshape(n, t - 1, h * s, w * s, 2)
 
     # first frame: zero hr_prev_tran
@@ -359,10 +375,7 @@ def infer_chunk(
     pad_h, pad_w = h - flow.shape[-3], w - flow.shape[-2]
     if pad_h or pad_w:
         flow = pad2d(flow, (0, pad_w, 0, pad_h), mode="reflect")
-    hr_flow = jnp.asarray(float(s), flow.dtype) * resize(
-        flow, (h * s, w * s), "bilinear"
-    )
-    hr_flow = hr_flow.reshape(t, n, h * s, w * s, 2)
+    hr_flow = _upsample_flow(flow, h, w, cfg).reshape(t, n, h * s, w * s, 2)
     warp = backward_warp_fast if fast_warp else backward_warp
 
     def body(carry, inp):
@@ -385,6 +398,35 @@ def infer_chunk(
 
     hr_last, hrs = jax.lax.scan(body, hr_prev, (lr_chunk, prevs, hr_flow))
     return hrs, (lr_chunk[-1], hr_last)
+
+
+def config_from_torch(sd: dict[str, np.ndarray]) -> EGVSRConfig:
+    """Infer the FRNet shape from a torch state dict, so any checkpoint
+    (the reference's production nb=10 EGVSR_iter420000.pth, the class-
+    default nb=16, or a locally-minted net) loads without a hand-matched
+    config:
+    - nb   = count of srnet.resblocks.<i> entries,
+    - nf   = conv_in output width, in/out_nc from conv shapes,
+    - degradation: the reference's BD mode registers the BicubicUpsample
+      'kernels' buffer under upsample_func (net_utils.py:143), so its
+      presence in the state dict identifies a BD-trained net; absence
+      means BI (bilinear flow upsample)."""
+    nb = len({
+        int(k.split(".")[2])
+        for k in sd
+        if k.startswith("srnet.resblocks.") and k.endswith(".conv.0.weight")
+    })
+    w_in = sd["srnet.conv_in.0.weight"]          # (nf, (s^2+1)*c, 3, 3)
+    nf = int(w_in.shape[0])
+    w_out = sd["srnet.conv_out.weight"]          # (out_nc, nf/16*?, 3, 3)
+    out_nc = int(w_out.shape[0])
+    scale = 4
+    in_nc = int(w_in.shape[1]) // (scale**2 + 1)
+    bd = any("upsample_func.kernels" in k for k in sd)
+    return EGVSRConfig(
+        in_nc=in_nc, out_nc=out_nc, nf=nf, nb=nb, scale=scale,
+        degradation="BD" if bd else "BI",
+    )
 
 
 def from_torch(sd: dict[str, np.ndarray], cfg: EGVSRConfig = DEFAULT) -> dict:

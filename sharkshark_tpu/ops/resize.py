@@ -250,3 +250,58 @@ def resize(x: jnp.ndarray, size: tuple[int, int], method: str = "bilinear") -> j
 def resize_nchw(x: jnp.ndarray, size: tuple[int, int], method: str = "bilinear") -> jnp.ndarray:
     """Convenience for NCHW layouts (torch-parity tests)."""
     return jnp.moveaxis(resize(jnp.moveaxis(x, -3, -1), size, method), -1, -3)
+
+
+@lru_cache(maxsize=None)
+def _tecogan_kernels(s: int, a: float = -0.75) -> tuple:
+    """Phase kernels of the TecoGAN bicubic upsampler: for output phase
+    d (source offset d/s), 4 tap weights over [x-1, x, x+1, x+2]
+    (reference net_utils.py:126-140, Eq.(6) of the Keys'81 paper)."""
+    cubic = np.array(
+        [
+            [0, a, -2 * a, a],
+            [1, 0, -(a + 3), a + 2],
+            [0, -a, (2 * a + 3), -(a + 2)],
+            [0, 0, a, -a],
+        ],
+        np.float64,
+    )
+    ks = [
+        cubic @ np.array([1.0, d / s, (d / s) ** 2, (d / s) ** 3])
+        for d in range(s)
+    ]
+    return tuple(tuple(float(v) for v in k) for k in ks)
+
+
+def _tecogan_axis(x: jnp.ndarray, k, s: int, axis: int) -> jnp.ndarray:
+    import jax
+
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 2)
+    xp = jnp.pad(x, pad, mode="edge")
+    n = x.shape[axis]
+    taps = [jax.lax.slice_in_dim(xp, t, t + n, axis=axis) for t in range(4)]
+    phases = [
+        sum(jnp.asarray(k[d][t], x.dtype) * taps[t] for t in range(4))
+        for d in range(s)
+    ]
+    y = jnp.stack(phases, axis=axis + 1)  # (..., n, s, ...)
+    shape = list(x.shape)
+    shape[axis] = n * s
+    return y.reshape(shape)
+
+
+def upsample_tecogan(x: jnp.ndarray, s: int, a: float = -0.75) -> jnp.ndarray:
+    """TecoGAN-convention bicubic sX upsample: sampling phases d/s start
+    AT each source pixel (not half-pixel centers like F.interpolate), 4
+    taps with replicate padding — bit-matching the reference's
+    BicubicUpsample module (net_utils.py:111-166).  The production FRNet
+    uses it to upsample the optical flow (degradation='BD',
+    egvsr_upscaler.py:26).  NHWC (any rank >= 3, trailing H,W,C);
+    computed in float32."""
+    k = _tecogan_kernels(s, a)
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = _tecogan_axis(xf, k, s, x.ndim - 3)
+    xf = _tecogan_axis(xf, k, s, x.ndim - 2)
+    return xf.astype(orig)

@@ -469,7 +469,7 @@ class EgvsrUpscalerService(BaseUpscalerService):
         output_shape: tuple[int, int] | None = (1440, 2560),
         weights: str | None = None,
         compute_dtype=jnp.bfloat16,
-        cfg: egvsr.EGVSRConfig = egvsr.DEFAULT,
+        cfg: egvsr.EGVSRConfig | None = None,
         pix_fmt: str = "rgb24",
         cut_threshold: float | None = 0.12,
     ) -> None:
@@ -490,10 +490,17 @@ class EgvsrUpscalerService(BaseUpscalerService):
     def proc_init(self) -> None:
         enable_persistent_cache()
         if self.weights is not None:
-            self._params = egvsr.from_torch(
-                torch_import.load_state_dict(self.weights), self.cfg
-            )
+            sd = torch_import.load_state_dict(self.weights)
+            if self.cfg is None:
+                # shape-match the checkpoint (nb/nf/degradation inferred —
+                # the reference's production EGVSR_iter420000.pth is
+                # nb=10/BD while the FRNet class default is nb=16/BI)
+                self.cfg = egvsr.config_from_torch(sd)
+                log.info("EGVSR config from checkpoint: %s", (self.cfg,))
+            self._params = egvsr.from_torch(sd, self.cfg)
         else:
+            if self.cfg is None:
+                self.cfg = egvsr.PRODUCTION
             log.warning("no EGVSR weights given; using random init")
             self._params = egvsr.init_params(jax.random.PRNGKey(0), self.cfg)
         spec = UpscaleSpec(
@@ -511,7 +518,7 @@ class EgvsrUpscalerService(BaseUpscalerService):
         )
         self._step = ShapeCache(
             lambda p, s, f: egvsr_upscale_step(
-                p, s, f, spec, cut_threshold=self.cut_threshold
+                p, s, f, spec, cut_threshold=self.cut_threshold, cfg=self.cfg
             )
         )
         # micro-batch executable: flow for all T co-resident frames in ONE
@@ -526,7 +533,7 @@ class EgvsrUpscalerService(BaseUpscalerService):
         self._use_chunk = os.environ.get("SHARKSHARK_EGVSR_CHUNK", "0") == "1"
         self._chunk_step = ShapeCache(
             lambda p, s, f: egvsr_upscale_chunk(
-                p, s, f, spec, cut_threshold=self.cut_threshold
+                p, s, f, spec, cut_threshold=self.cut_threshold, cfg=self.cfg
             )
         )
 

@@ -333,6 +333,7 @@ def egvsr_upscale_step(
     frame: jnp.ndarray,
     spec: UpscaleSpec,
     cut_threshold: float | None = None,
+    cfg=None,
 ) -> tuple[jnp.ndarray, tuple]:
     """Frame-recurrent EGVSR path (reference egvsr_upscaler.py:145-212):
     area-resize to lr_shape, FRNet step with (lr_prev, hr_prev) carry,
@@ -347,6 +348,7 @@ def egvsr_upscale_step(
         lr = resize(img, spec.lr_shape, "area")
     hr, new_state = egvsr.infer_step(
         params, state, lr.astype(spec.compute_dtype),
+        cfg=egvsr.DEFAULT if cfg is None else cfg,
         cut_threshold=cut_threshold,
     )
     hr = jnp.clip(hr.astype(jnp.float32), 0.0, 1.0)
@@ -360,6 +362,7 @@ def egvsr_upscale_chunk(
     frames: jnp.ndarray,
     spec: UpscaleSpec,
     cut_threshold: float | None = None,
+    cfg=None,
 ) -> tuple[jnp.ndarray, tuple]:
     """Micro-batch EGVSR path: frames (T, H, W, 3) uint8 — the whole
     micro-batch in one executable.  Pre/post (to_float, area resize,
@@ -378,6 +381,7 @@ def egvsr_upscale_chunk(
         lr = resize(img, spec.lr_shape, "area")
     hr, new_state = egvsr.infer_chunk(
         params, state, lr.astype(spec.compute_dtype)[:, None],
+        cfg=egvsr.DEFAULT if cfg is None else cfg,
         cut_threshold=cut_threshold,
     )
     hr = jnp.clip(hr[:, 0].astype(jnp.float32), 0.0, 1.0)

@@ -264,3 +264,64 @@ def test_fsrcnn_x2_oracle_real_weights():
     got = np.asarray(fsrcnn.apply(params, jnp.asarray(x), factor=2))
     assert got.shape == want.shape == (1, 28, 36, 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------- BD / production EGVSR mode
+
+def test_tecogan_bicubic_upsample_oracle():
+    """ops.upsample_tecogan bit-matches the reference's BicubicUpsample
+    module (net_utils.py:111-166) — the BD-mode flow upsampler of the
+    production FRNet (egvsr_upscaler.py:26)."""
+    nu = _load_module("ref_net_utils_oracle",
+                      "/root/reference/src/upscale/model/egvsr/utils/net_utils.py")
+    from sharkshark_tpu.ops import upsample_tecogan
+
+    x = RNG.random((2, 5, 7, 3), dtype=np.float32)
+    ref = nu.BicubicUpsample(4)
+    with torch.no_grad():
+        want = nhwc(ref(nchw(x)))
+    got = np.asarray(upsample_tecogan(jnp.asarray(x), 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_egvsr_frnet_oracle_step_bd(ref_egvsr_mod):
+    """frnet_step with degradation='BD' (the production mode: TecoGAN
+    bicubic flow upsample) matches the reference FRNet.forward."""
+    from sharkshark_tpu.models import egvsr
+
+    ref = ref_egvsr_mod.FRNet(in_nc=3, out_nc=3, nf=64, nb=2,
+                              degradation="BD", scale=4).eval()
+    cfg = egvsr.EGVSRConfig(nf=64, nb=2, degradation="BD")
+    params = egvsr.from_torch(sd_numpy(ref), cfg)
+
+    H, W = 16, 24
+    lr_curr = RNG.random((1, H, W, 3), dtype=np.float32)
+    lr_prev = RNG.random((1, H, W, 3), dtype=np.float32)
+    hr_prev = RNG.random((1, 4 * H, 4 * W, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        want = nhwc(ref(nchw(lr_curr), nchw(lr_prev), nchw(hr_prev)))
+    got = np.asarray(
+        egvsr.frnet_step(params, jnp.asarray(lr_curr), jnp.asarray(lr_prev),
+                         jnp.asarray(hr_prev), cfg=cfg, fast_warp=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
+    assert np.median(np.abs(got - want)) < 1e-5
+
+
+def test_egvsr_config_from_torch_production_shape(ref_egvsr_mod):
+    """config_from_torch recovers the production instantiation
+    (nb=10, BD — egvsr_upscaler.py:26) and the class default (nb=16, BI)
+    from their state dicts alone."""
+    from sharkshark_tpu.models import egvsr
+
+    prod = ref_egvsr_mod.FRNet(in_nc=3, out_nc=3, nf=64, nb=10,
+                               degradation="BD", scale=4)
+    cfg = egvsr.config_from_torch(sd_numpy(prod))
+    assert (cfg.nb, cfg.nf, cfg.degradation) == (10, 64, "BD")
+    assert (cfg.in_nc, cfg.out_nc, cfg.scale) == (3, 3, 4)
+
+    default = ref_egvsr_mod.FRNet(in_nc=3, out_nc=3, nf=64, nb=16,
+                                  degradation="BI", scale=4)
+    cfg = egvsr.config_from_torch(sd_numpy(default))
+    assert (cfg.nb, cfg.degradation) == (16, "BI")

@@ -28,7 +28,9 @@ def _bench_egvsr(iters: int):
 
     from sharkshark_tpu.models import cast_params, egvsr
 
-    cfg = egvsr.DEFAULT
+    # PRODUCTION shape (nb=10, BD flow upsample — reference
+    # egvsr_upscaler.py:26), matching the envelope in egvsr_test.py:9-11
+    cfg = egvsr.PRODUCTION
     params = cast_params(egvsr.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
     checksum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
     rows = []
@@ -59,10 +61,13 @@ def _egvsr_params(weights: str | None):
     if weights:
         from sharkshark_tpu.models.torch_import import load_state_dict
 
-        p = egvsr.from_torch(load_state_dict(weights), egvsr.DEFAULT)
+        sd = load_state_dict(weights)
+        cfg = egvsr.config_from_torch(sd)
+        p = egvsr.from_torch(sd, cfg)
     else:
-        p = egvsr.init_params(jax.random.PRNGKey(0), egvsr.DEFAULT)
-    return cast_params(p, jnp.bfloat16)
+        cfg = egvsr.PRODUCTION
+        p = egvsr.init_params(jax.random.PRNGKey(0), cfg)
+    return cast_params(p, jnp.bfloat16), cfg
 
 
 def _bench_cuts(iters: int, cut_every: int = 24, weights: str | None = None):
@@ -79,9 +84,8 @@ def _bench_cuts(iters: int, cut_every: int = 24, weights: str | None = None):
 
     from sharkshark_tpu.models import cast_params, egvsr
 
-    cfg = egvsr.DEFAULT
     h, w = 720, 1280
-    params = _egvsr_params(weights)
+    params, cfg = _egvsr_params(weights)
     checksum = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
 
     # two panning scenes from two fixed textures: smooth motion inside a

@@ -40,7 +40,9 @@ def bench(label, fn, *args, iters=20):
 
 if __name__ == "__main__":
     H, W = (int(v) for v in (sys.argv[1:3] or (720, 1280)))
-    cfg = egvsr.DEFAULT
+    # production shape: nb=10 + BD bicubic flow upsample
+    # (reference egvsr_upscaler.py:26)
+    cfg = egvsr.PRODUCTION
     params = cast_params(egvsr.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
     s = cfg.scale
     key = jax.random.PRNGKey(1)
