@@ -174,6 +174,51 @@ def denoise_step_bench(window_s: float) -> float | None:
     return fps_t4
 
 
+def egvsr_step_bench(window_s: float) -> None:
+    """EGVSR FRNet per-frame latency at the reference's 720p envelope
+    point (reference egvsr_test.py:9-11: ~45 ms @ 720x1280 TRT fp16),
+    production shape (nb=10, BD bicubic flow upsample —
+    egvsr_upscaler.py:26), recorded as its own driver metric."""
+    import numpy as np
+
+    from sharkshark_tpu.models import cast_params, egvsr
+
+    cfg = egvsr.PRODUCTION
+    params = cast_params(
+        egvsr.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16
+    )
+    h, w = 720, 1280
+    lr = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 3), dtype=jnp.bfloat16)
+    state = egvsr.init_recurrent_state(1, h, w, cfg, jnp.bfloat16)
+    fn = jax.jit(lambda p, st, x: egvsr.infer_step(p, st, x, cfg=cfg))
+    checksum = jax.jit(lambda o: jnp.sum(o, dtype=jnp.float32))
+    out, st = fn(params, state, lr)
+    float(checksum(out))
+    block, block_ms = 10, []
+    t_start = time.perf_counter()
+    while time.perf_counter() - t_start < window_s:
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(block):
+            out, st = fn(params, st, lr)
+        float(checksum(out))
+        block_ms.append((time.perf_counter() - t0) / block * 1e3)
+    ms = float(np.mean(block_ms))
+    print(
+        json.dumps(
+            {
+                "metric": "egvsr_720p_ms_per_frame",
+                "value": round(ms, 1),
+                "unit": "ms",
+                "ms_std": round(float(np.std(block_ms)), 2),
+                # reference envelope: 45 ms @ 720p (lower is better)
+                "vs_baseline": round(45.0 / ms, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def e2e_bench(seconds: float, fps: str, tag: str):
     """Run tools/bench_e2e.py in a subprocess (its own pipeline threads +
     jax client) and return its parsed result.  fps='24' is the stress
@@ -231,6 +276,7 @@ def main() -> None:
     # a tail parse also lands on it
     print(headline, flush=True)
     denoise_step_bench(min(window, 20.0))
+    egvsr_step_bench(min(window, 12.0))
     if e2e_s > 0:
         e2e_bench(e2e_s, "auto", "sustained")
         e2e_bench(e2e_s, "24", "stress")

@@ -56,6 +56,10 @@ def _model_cfg(opt: dict) -> egvsr.EGVSRConfig:
         nf=g.get("nf", 64),
         nb=g.get("nb", 10),
         scale=opt.get("scale", 4),
+        # BD-degradation configs train with the TecoGAN bicubic flow
+        # upsample, like the reference's get_upsampling_func wiring
+        # (FRNet __init__ <- opt dataset degradation)
+        degradation=opt.get("dataset", {}).get("degradation", {}).get("type", "BI"),
     )
 
 

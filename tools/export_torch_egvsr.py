@@ -56,6 +56,9 @@ def main() -> None:
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--nb", type=int, default=10)
+    ap.add_argument("--degradation", default="BI", choices=["BI", "BD"],
+                    help="BD writes the BicubicUpsample kernels buffer so "
+                    "config_from_torch detects the BD flow-upsample mode")
     args = ap.parse_args()
 
     import torch
@@ -68,6 +71,16 @@ def main() -> None:
     tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     params = tree["params"] if "params" in tree else tree[0]
     sd = params_to_state_dict(params)
+    if args.degradation == "BD":
+        # the reference BD net registers this buffer (net_utils.py:143);
+        # its presence is how config_from_torch identifies BD checkpoints
+        from sharkshark_tpu.ops.resize import _tecogan_kernels
+
+        import torch as _torch
+
+        sd["upsample_func.kernels"] = _torch.tensor(
+            _tecogan_kernels(4), dtype=_torch.float32
+        )
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     torch.save(sd, args.out)
     print(f"wrote {args.out} ({len(sd)} tensors)")
@@ -75,8 +88,10 @@ def main() -> None:
     from sharkshark_tpu.models import egvsr
     from sharkshark_tpu.models.torch_import import load_state_dict
 
-    cfg = egvsr.EGVSRConfig(nb=args.nb)
-    back = egvsr.from_torch(load_state_dict(args.out), cfg)
+    cfg = egvsr.EGVSRConfig(nb=args.nb, degradation=args.degradation)
+    sd_back = load_state_dict(args.out)
+    assert egvsr.config_from_torch(sd_back).degradation == args.degradation
+    back = egvsr.from_torch(sd_back, cfg)
     w0 = np.asarray(params["srnet"]["conv_in"]["w"], np.float32)
     assert np.allclose(np.asarray(back["srnet"]["conv_in"]["w"]), w0)
     print("round-trip through torch_import/from_torch ok")
