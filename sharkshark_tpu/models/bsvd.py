@@ -463,6 +463,37 @@ def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
     return y, {"c1": s1, "c2": s2}
 
 
+def _lanefold_mode() -> str:
+    """'auto' routes the warm chunk's full-res C<=32 stage through the
+    lane-folded convs (ops/lanefold.py) on TPU only; 'force' everywhere
+    (CPU parity tests); '0' disables.  Measured on the dev v5e the
+    folded stage runs ~2x faster (chained C=32 conv 8.5 -> 4.3 ms at
+    720p/N=4, BASELINE.md round 3)."""
+    import os
+
+    return os.environ.get("SHARKSHARK_LANEFOLD", "1")
+
+
+def _lanefold_on(x_shape) -> bool:
+    mode = _lanefold_mode()
+    if mode == "0":
+        return False
+    t, n, h, w, c = x_shape
+    if h % 4 or w % 4:
+        return False
+    return mode == "force" or jax.default_backend() == "tpu"
+
+
+def _fold_batched(fn, p, x, act, f):
+    """Apply a lanefold conv over the (T, N) leading dims of a folded
+    tensor x: (T, N, H, Wp, lanes)."""
+    t, n = x.shape[:2]
+    y = fn(x.reshape(t * n, *x.shape[2:]), p["w"], p["b"], f)
+    if act is not None:
+        y = _act(y, act)
+    return y.reshape(t, n, *y.shape[1:])
+
+
 def _conv_batched(p, x, act=None, stride=1):
     t, n, h, w, c = x.shape
     xb = x.reshape(t * n, h, w, c)
@@ -503,6 +534,8 @@ def _fifo(carry: jnp.ndarray, chunk: jnp.ndarray):
 def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
     """One DenBlock over a chunk.  x: (T, N, H, W, in_ch) for frames
     [base, base+T); returns output frames [base-8, base+T-8)."""
+    if warm and _lanefold_on(x.shape):
+        return _denblock_chunk_folded(p, st, x, act, base, t_end)
     skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
     x0 = _conv_batched(p["inc1"], _conv_batched(p["inc0"], x, act), act)
     skip2, st_s2 = _fifo(st["skip2"], x0)
@@ -516,6 +549,52 @@ def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
     u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end, warm)
     u1 = _ps_batched(_conv_batched(p["up1"], u1), 2)
     y = _conv_batched(p["outc1"], _conv_batched(p["outc0"], u1 + skip2, act))
+    y = y.at[..., :3].set(skip1 - y[..., :3])
+    new_st = {
+        "skip1": st_s1, "skip2": st_s2, "skip3": st_s3,
+        "down0": st_d0, "down1": st_d1, "up2": st_u2, "up1": st_u1,
+    }
+    return y, new_st
+
+
+def _denblock_chunk_folded(p, st, x, act, base, t_end):
+    """Warm-path DenBlock with the full-resolution C<=32 stage in
+    lane-folded layout (ops/lanefold.py): the inc/outc/down/up convs run
+    as dense 128-lane convs over W/4 super-pixels instead of 32-lane
+    convs the MXU runs at ~1/4 rate.  The mem (temporal-shift) convs and
+    every state tensor keep their canonical layout — fold/unfold are
+    row-major reshapes XLA elides — so state interoperates with the
+    unfolded executables.  Numerically a re-parametrization of the same
+    sums (f32 parity ~1e-6; accumulation order differs)."""
+    from ..ops import lanefold as lf
+
+    skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
+    xf = lf.fold_lanes(x, 4)
+    x0f = _fold_batched(
+        lf.conv3x3_folded, p["inc1"],
+        _fold_batched(lf.conv3x3_folded, p["inc0"], xf, act, 4), act, 4,
+    )
+    skip2, st_s2 = _fifo(st["skip2"], lf.unfold_lanes(x0f, 4))
+    x1f = _fold_batched(lf.conv_stride2_folded, p["down0"], x0f, act, 4)
+    x1 = lf.unfold_lanes(x1f, 2)
+    x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end, True)
+    skip3, st_s3 = _fifo(st["skip3"], x1)  # x1 frames [base-2, ...)
+    x2 = _fold_batched(
+        lf.conv_stride2_folded, p["down1"], lf.fold_lanes(x1, 2), act, 2
+    )  # f_out = 1: quarter-res C=128, already canonical
+    x2, st_d1 = _mem_chunk(p["down1_mem"], st["down1"], x2, act, base - 2, t_end, True)
+    u2, st_u2 = _mem_chunk(p["up2_mem"], st["up2"], x2, act, base - 4, t_end, True)
+    u2 = lf.unfold_lanes(_fold_batched(lf.conv_ps2_folded, p["up2"], u2, None, 1), 2)
+    u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end, True)
+    u1f = _fold_batched(lf.conv_ps2_folded, p["up1"], lf.fold_lanes(u1, 2), None, 2)
+    yf = _fold_batched(
+        lf.conv3x3_folded, p["outc1"],
+        _fold_batched(
+            lf.conv3x3_folded, p["outc0"], u1f + lf.fold_lanes(skip2, 4), act, 4
+        ),
+        None, 4,
+    )
+    y = lf.unfold_lanes(yf, 4)
     y = y.at[..., :3].set(skip1 - y[..., :3])
     new_st = {
         "skip1": st_s1, "skip2": st_s2, "skip3": st_s3,

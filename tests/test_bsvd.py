@@ -263,3 +263,61 @@ def test_chunk_step_warm_matches_cold():
         jax.tree_util.tree_leaves(st_cold), jax.tree_util.tree_leaves(st_warm)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunk_step_warm_lanefold_matches_cold():
+    """The lane-folded warm chunk (SHARKSHARK_LANEFOLD=force) is a
+    re-parametrization of the same sums — outputs and state must match
+    the cold path within accumulation-order tolerance."""
+    import os
+
+    import jax
+
+    params = bsvd.init_params(jax.random.PRNGKey(0), CFG)
+    T, H, W = 4, 8, 8
+    st = bsvd.init_chunk_state(1, H, W, CFG)
+    frames = jnp.asarray(
+        RNG.standard_normal((5 * T, 1, H, W, CFG.in_ch), dtype=np.float32)
+    )
+    for i in range(4):
+        _, st = bsvd.chunk_step(params, st, frames[i * T : (i + 1) * T], cfg=CFG)
+    cold, st_cold = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG)
+    os.environ["SHARKSHARK_LANEFOLD"] = "force"
+    try:
+        warm, st_warm = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG, warm=True)
+    finally:
+        del os.environ["SHARKSHARK_LANEFOLD"]
+    np.testing.assert_allclose(
+        np.asarray(warm), np.asarray(cold), rtol=0, atol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_cold), jax.tree_util.tree_leaves(st_warm)
+    ):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-4)
+
+
+def test_chunk_step_warm_lanefold_production_cfg():
+    """Same check at the production channel widths (BSVD_32) on a tiny
+    spatial grid — exercises the f=4/f=2 stride and ps2 folded kernels at
+    the real channel counts."""
+    import os
+
+    import jax
+
+    cfg = bsvd.BSVD_32
+    params = bsvd.init_params(jax.random.PRNGKey(1), cfg)
+    T, H, W = 2, 8, 16
+    st = bsvd.init_chunk_state(1, H, W, cfg)
+    frames = jnp.asarray(
+        RNG.standard_normal((9 * T, 1, H, W, cfg.in_ch), dtype=np.float32)
+    ) * 0.3
+    for i in range(8):  # 16 frames -> t == 16 >= 15
+        _, st = bsvd.chunk_step(params, st, frames[i * T : (i + 1) * T], cfg=cfg)
+    cold, _ = bsvd.chunk_step(params, st, frames[16:18], cfg=cfg)
+    os.environ["SHARKSHARK_LANEFOLD"] = "force"
+    try:
+        warm, _ = bsvd.chunk_step(params, st, frames[16:18], cfg=cfg, warm=True)
+    finally:
+        del os.environ["SHARKSHARK_LANEFOLD"]
+    np.testing.assert_allclose(np.asarray(warm), np.asarray(cold), rtol=0, atol=1e-4)

@@ -1,0 +1,75 @@
+"""Lane-folded conv re-parametrizations (ops/lanefold.py) must match the
+plain convs they replace — stride-1, stride-2 and conv+PixelShuffle(2)
+forms, at the fold factors the BSVD warm chunk path uses (f=4 for C=32
+full-res, f_in=2/4 for the down convs, f_in=1/2 for the up convs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sharkshark_tpu.ops import conv2d, pixel_shuffle
+from sharkshark_tpu.ops.lanefold import (
+    conv3x3_folded,
+    conv_ps2_folded,
+    conv_stride2_folded,
+    fold_lanes,
+    unfold_lanes,
+)
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32) * 0.2
+
+
+def test_fold_unfold_roundtrip():
+    x = _rand(jax.random.PRNGKey(0), (2, 6, 16, 5))
+    for f in (2, 4):
+        xf = fold_lanes(x, f)
+        assert xf.shape == (2, 6, 16 // f, f * 5)
+        np.testing.assert_array_equal(unfold_lanes(xf, f), x)
+        # lane u*C + c holds original pixel (w*f + u, c)
+        np.testing.assert_array_equal(xf[0, 0, 0, 5:10], x[0, 0, 1, :])
+
+
+@pytest.mark.parametrize("f,ci,co", [(4, 4, 30), (4, 30, 32), (4, 32, 32), (2, 32, 3)])
+def test_conv3x3_folded(f, ci, co):
+    k = jax.random.PRNGKey(f * 100 + ci)
+    x = _rand(k, (2, 8, 16, ci))
+    w = _rand(jax.random.fold_in(k, 1), (3, 3, ci, co))
+    b = _rand(jax.random.fold_in(k, 2), (co,))
+    ref = conv2d(x, w, b, padding=1)
+    got = unfold_lanes(conv3x3_folded(fold_lanes(x, f), w, b, f), f)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("f_in,ci,co", [(4, 32, 64), (2, 64, 128)])
+def test_conv_stride2_folded(f_in, ci, co):
+    k = jax.random.PRNGKey(f_in * 7 + ci)
+    x = _rand(k, (2, 8, 16, ci))
+    w = _rand(jax.random.fold_in(k, 1), (3, 3, ci, co))
+    b = _rand(jax.random.fold_in(k, 2), (co,))
+    ref = conv2d(x, w, b, stride=2, padding=1)
+    got = unfold_lanes(conv_stride2_folded(fold_lanes(x, f_in), w, b, f_in), f_in // 2)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("f_in,ci,co", [(1, 128, 64), (2, 64, 32)])
+def test_conv_ps2_folded(f_in, ci, co):
+    k = jax.random.PRNGKey(f_in * 13 + ci)
+    x = _rand(k, (2, 6, 8, ci))
+    w = _rand(jax.random.fold_in(k, 1), (3, 3, ci, 4 * co))
+    b = _rand(jax.random.fold_in(k, 2), (4 * co,))
+    ref = pixel_shuffle(conv2d(x, w, b, padding=1), 2)
+    got = unfold_lanes(conv_ps2_folded(fold_lanes(x, f_in), w, b, f_in), 2 * f_in)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+
+def test_conv_ps2_folded_no_bias():
+    k = jax.random.PRNGKey(3)
+    x = _rand(k, (1, 4, 8, 8))
+    w = _rand(jax.random.fold_in(k, 1), (3, 3, 8, 16))
+    ref = pixel_shuffle(conv2d(x, w, None, padding=1), 2)
+    got = unfold_lanes(conv_ps2_folded(fold_lanes(x, 2), w, None, 2), 4)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
