@@ -463,25 +463,15 @@ def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
     return y, {"c1": s1, "c2": s2}
 
 
-def _lanefold_mode() -> str:
-    """'auto' routes the warm chunk's full-res C<=32 stage through the
-    lane-folded convs (ops/lanefold.py) on TPU only; 'force' everywhere
-    (CPU parity tests); '0' disables.  Measured on the dev v5e the
-    folded stage runs ~2x faster (chained C=32 conv 8.5 -> 4.3 ms at
-    720p/N=4, BASELINE.md round 3)."""
-    import os
-
-    return os.environ.get("SHARKSHARK_LANEFOLD", "1")
-
-
 def _lanefold_on(x_shape) -> bool:
-    mode = _lanefold_mode()
-    if mode == "0":
-        return False
+    """Route the warm chunk's full-res C<=32 stage through the
+    lane-folded convs (ops/lanefold.py; SHARKSHARK_LANEFOLD gate).
+    Measured on the dev v5e the folded stage runs ~2x faster (chained
+    C=32 conv 8.5 -> 4.3 ms at 720p/N=4, BASELINE.md round 3)."""
+    from ..ops.lanefold import lanefold_enabled
+
     t, n, h, w, c = x_shape
-    if h % 4 or w % 4:
-        return False
-    return mode == "force" or jax.default_backend() == "tpu"
+    return h % 4 == 0 and lanefold_enabled(w, 4)
 
 
 def _fold_batched(fn, p, x, act, f):

@@ -180,10 +180,34 @@ def _srnet_body(p: dict, y: jnp.ndarray) -> jnp.ndarray:
     return pixel_shuffle_mxu(z, 4)
 
 
+def _srnet_body_folded(p: dict, yf: jnp.ndarray) -> jnp.ndarray:
+    """Residual chain + folded conv_out in W-pair lane-folded layout
+    (ops/lanefold.py): the N=1 C=64 chain is the EGVSR hot spot (58 ms of
+    112 at 720p, BASELINE.md) and the dense 128-lane form measured ~24 %
+    faster on v5e (1.62 -> 1.23 ms/conv at N=1); exact
+    re-parametrization."""
+    from ..ops.lanefold import conv3x3_folded, unfold_lanes
+
+    for blk in p["blocks"]:
+        r = jnp.maximum(conv3x3_folded(yf, blk[0]["w"], blk[0]["b"], 2), 0)
+        yf = conv3x3_folded(r, blk[1]["w"], blk[1]["b"], 2) + yf
+    w_lr, b_lr, _pad = _fold_conv_out(p["conv_out"]["w"], p["conv_out"]["b"], 4)
+    zf = conv3x3_folded(jnp.maximum(yf, 0), w_lr, b_lr, 2)
+    return pixel_shuffle_mxu(unfold_lanes(zf, 2), 4)
+
+
 def srnet_apply(params: dict, lr_curr: jnp.ndarray, hr_prev_tran: jnp.ndarray) -> jnp.ndarray:
     """lr_curr (N,H,W,c) + space-to-depth'd warped hr_prev (N,H,W,s^2*c)."""
+    from ..ops.lanefold import conv3x3_folded, fold_lanes, lanefold_enabled
+
     p = params
-    y = jnp.maximum(conv2d(jnp.concatenate([lr_curr, hr_prev_tran], -1), **p["conv_in"], padding=1), 0)
+    x = jnp.concatenate([lr_curr, hr_prev_tran], -1)
+    if lanefold_enabled(x.shape[-2], 2):
+        yf = jnp.maximum(
+            conv3x3_folded(fold_lanes(x, 2), p["conv_in"]["w"], p["conv_in"]["b"], 2), 0
+        )
+        return _srnet_body_folded(p, yf)
+    y = jnp.maximum(conv2d(x, **p["conv_in"], padding=1), 0)
     return _srnet_body(p, y)
 
 

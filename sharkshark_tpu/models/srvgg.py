@@ -84,10 +84,31 @@ def apply(params: dict, x: jnp.ndarray, *, cfg: SRVGGConfig = GENERAL_X4V3) -> j
 
 
 def _body(params: dict, x: jnp.ndarray, cfg: SRVGGConfig) -> jnp.ndarray:
+    from ..ops.lanefold import lanefold_enabled
+
+    if lanefold_enabled(x.shape[-2], 2):
+        return _body_folded(params, x, cfg)
     y = x
     for conv_p, act_p in zip(params["convs"], params["acts"]):
         y = _act(conv2d(y, **conv_p, padding=1), act_p, cfg.act_type)
     return conv2d(y, **params["tail"], padding=1)
+
+
+def _body_folded(params: dict, x: jnp.ndarray, cfg: SRVGGConfig) -> jnp.ndarray:
+    """The conv stack in W-pair lane-folded layout (ops/lanefold.py):
+    the C=64 body runs as dense 128-lane convs, measured ~25 % faster on
+    v5e at 720p (1.41 -> 1.05 ms/conv at N=4; exact re-parametrization,
+    f32 parity ~2e-7)."""
+    from ..ops.lanefold import conv3x3_folded, fold_lanes, unfold_lanes
+
+    y = fold_lanes(x, 2)
+    for conv_p, act_p in zip(params["convs"], params["acts"]):
+        y = conv3x3_folded(y, conv_p["w"], conv_p["b"], 2)
+        if cfg.act_type == "prelu":
+            y = prelu(y, jnp.tile(act_p["alpha"], 2))
+        else:
+            y = _act(y, act_p, cfg.act_type)
+    return unfold_lanes(conv3x3_folded(y, params["tail"]["w"], params["tail"]["b"], 2), 2)
 
 
 def apply_down(params: dict, x: jnp.ndarray, d: int, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:

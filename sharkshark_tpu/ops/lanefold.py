@@ -36,7 +36,20 @@ __all__ = [
     "conv3x3_folded",
     "conv_stride2_folded",
     "conv_ps2_folded",
+    "lanefold_enabled",
 ]
+
+
+def lanefold_enabled(w_dim: int, f: int = 2) -> bool:
+    """Shared routing gate for folded conv bodies (SRVGG / EGVSR srnet /
+    BSVD full-res stage).  SHARKSHARK_LANEFOLD: '1' (default) = TPU
+    only, 'force' = everywhere (CPU parity tests), '0' = off."""
+    import os
+
+    mode = os.environ.get("SHARKSHARK_LANEFOLD", "1")
+    if mode == "0" or w_dim % f:
+        return False
+    return mode == "force" or jax.default_backend() == "tpu"
 
 
 def fold_lanes(x: jnp.ndarray, f: int) -> jnp.ndarray:

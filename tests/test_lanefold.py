@@ -73,3 +73,43 @@ def test_conv_ps2_folded_no_bias():
     ref = pixel_shuffle(conv2d(x, w, None, padding=1), 2)
     got = unfold_lanes(conv_ps2_folded(fold_lanes(x, 2), w, None, 2), 4)
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+
+def test_srvgg_body_folded_matches_plain(monkeypatch):
+    """The folded SRVGG body (SHARKSHARK_LANEFOLD=force) matches the
+    plain conv stack within accumulation-order tolerance."""
+    from sharkshark_tpu.models import srvgg
+
+    cfg = srvgg.SRVGGConfig(num_conv=3, num_feat=16)
+    params = srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    x = _rand(jax.random.PRNGKey(1), (2, 8, 12, 3)) * 0.5 + 0.5
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "0")
+    plain = srvgg.apply(params, x, cfg=cfg)
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    folded = srvgg.apply(params, x, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain), rtol=0, atol=1e-4)
+
+
+def test_srvgg_body_folded_odd_width_falls_back(monkeypatch):
+    from sharkshark_tpu.models import srvgg
+
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8)
+    params = srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    x = _rand(jax.random.PRNGKey(1), (1, 6, 11, 3))  # odd W
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    out = srvgg.apply(params, x, cfg=cfg)
+    assert out.shape == (1, 24, 44, 3)
+
+
+def test_egvsr_srnet_folded_matches_plain(monkeypatch):
+    from sharkshark_tpu.models import egvsr
+
+    cfg = egvsr.EGVSRConfig(nb=2)
+    params = egvsr.init_params(jax.random.PRNGKey(0), cfg)
+    lr = _rand(jax.random.PRNGKey(1), (1, 8, 12, 3)) * 0.5 + 0.5
+    hr_tran = _rand(jax.random.PRNGKey(2), (1, 8, 12, 48)) * 0.2
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "0")
+    plain = egvsr.srnet_apply(params["srnet"], lr, hr_tran)
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    folded = egvsr.srnet_apply(params["srnet"], lr, hr_tran)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain), rtol=0, atol=1e-4)
