@@ -84,6 +84,12 @@ class BaseUpscalerService(BaseService):
         from collections import deque
 
         self._inflight: deque = deque()
+        # cumulative wall seconds blocked in the host fetch (transfer wait):
+        # over a link-bound window, delta(fetch_busy_s)/delta(wall) ~ 1.0
+        # means the pipeline kept the device->host link saturated —
+        # tools/bench_e2e.py reads this for its link_busy_fraction metric,
+        # which unlike a probe-based ceiling is immune to link-rate drift
+        self.fetch_busy_s: float = 0.0
 
     def proc_job_recieved(self, job: UpscalerQueueEntry):
         self.profiler = job.profiler
@@ -104,7 +110,9 @@ class BaseUpscalerService(BaseService):
     def _fetch_oldest(self) -> UpscalerQueueEntry:
         job, dev, n, t = self._inflight.popleft()
         job.profiler.start("upscaler.fetch")
+        t_fetch = time.perf_counter()
         frames_up = self._fetch(dev, n)
+        self.fetch_busy_s += time.perf_counter() - t_fetch
         job.profiler.end("upscaler.fetch")
         elapsed = time.time() - t
         job.profiler.start("upscaler.output")

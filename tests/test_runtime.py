@@ -171,3 +171,19 @@ def test_inflight_ring_idle_drain_single_job():
     assert out.step == 7
     assert time.time() - t0 < 2.0
     svc.stop()
+
+
+def test_inflight_ring_tracks_fetch_busy_time():
+    """fetch_busy_s accumulates the wall time blocked in the host fetch —
+    tools/bench_e2e.py's drift-immune link_busy_fraction depends on it."""
+    import numpy as np
+
+    from sharkshark_tpu.upscale.service import UpscalerQueueEntry
+
+    svc = _ring_service(depth=1)
+    svc.start()
+    assert svc.fetch_busy_s == 0.0
+    svc.push_job(UpscalerQueueEntry(frames=np.ones((1, 4, 4, 3), np.uint8), step=1))
+    svc.get_result(timeout=5)
+    assert svc.fetch_busy_s > 0.0
+    svc.stop()

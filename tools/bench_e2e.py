@@ -99,7 +99,10 @@ def main() -> dict:
         4, out_shape, args.pix_fmt
     )
     if args.fps == "auto":
-        fps = max(1.0, round(min(24.0, link_fps_ceiling), 1))
+        # pace 10 % under the probed ceiling: the tunnel's rate drifts
+        # during the run, and the sustained row's contract is ~0 drops
+        # (saturation is proven by link_busy_fraction, not the pace)
+        fps = max(1.0, round(min(24.0, link_fps_ceiling * 0.9), 1))
         mode = "sustained"
     else:
         fps = float(args.fps)
@@ -135,13 +138,14 @@ def main() -> dict:
         report_interval=10.0,
     )
 
-    deliveries: list[tuple[float, int]] = []  # (wall time, n frames)
+    # (wall time, n frames, cumulative fetch-busy seconds)
+    deliveries: list[tuple[float, int, float]] = []
     orig_cb = pipe.streamer_on_queue
 
     def counting_cb(entry):
         now = time.time()
         if hasattr(entry, "frames") and getattr(entry, "frames", None) is not None:
-            deliveries.append((now, len(entry.frames)))
+            deliveries.append((now, len(entry.frames), pipe.upscaler.fetch_busy_s))
         orig_cb(entry)
 
     pipe.streamer.on_queue = counting_cb
@@ -189,19 +193,29 @@ def main() -> dict:
 
     import numpy as np
 
-    frames_out = sum(n for _, n in deliveries)
+    frames_out = sum(n for _, n, _b in deliveries)
     drop_pct = 100.0 * (1.0 - frames_out / max(n_frames, 1))
     # steady-state window: the second half of deliveries, excluding the
     # lead-in that stalls the first batches
     half = len(deliveries) // 2
     tail = deliveries[half:]
     if len(tail) >= 2 and tail[-1][0] > tail[0][0]:
-        tail_frames = sum(n for _, n in tail[1:])
+        tail_frames = sum(n for _, n, _b in tail[1:])
         span = tail[-1][0] - tail[0][0]
         fps_sustained = tail_frames / span
         in_run_mbps = tail_frames * bytes_per_frame / span / 1e6
+        # fraction of the steady window the pipeline spent blocked on the
+        # device->host fetch: the drift-immune saturation signal (the
+        # tunnel's rate moves 2-4x minute to minute, so a probe taken
+        # before the run is not a trustworthy denominator by itself)
+        link_busy = min(1.0, (tail[-1][2] - tail[0][2]) / span)
     else:
-        fps_sustained = in_run_mbps = 0.0
+        fps_sustained = in_run_mbps = link_busy = 0.0
+
+    # re-probe after the run; the link CAN do at least max(either probe,
+    # what was actually delivered), so utilization is bounded to [0, 1]
+    d2h_post, _fps_post, _ = probe_link_ceiling(4, out_shape, args.pix_fmt)
+    ceiling_mbps = max(d2h_mbps, d2h_post, in_run_mbps)
     lats = pipe._latencies[half:] or pipe._latencies or [0.0]
     lats = np.asarray(lats)
     result = {
@@ -219,14 +233,17 @@ def main() -> dict:
         "latency_p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 1),
         "wall_s": round(wall, 1),
         "pix_fmt": args.pix_fmt,
-        # sustained multi-rep probe = what the link CAN do; in-run rate =
-        # what the pipeline actually pushed through it during the steady
-        # window; their ratio is the utilization story in one number
+        # link accounting: pre/post probes bracket the run (the tunnel's
+        # rate drifts), the ceiling is max(probes, delivered) so
+        # utilization is bounded to [0, 1], and link_busy_fraction is the
+        # drift-immune saturation signal (time blocked on D2H / wall)
         "d2h_MBps": round(d2h_mbps, 1),
+        "d2h_MBps_post": round(d2h_post, 1),
         "link_fps_ceiling": round(link_fps_ceiling, 2),
         "in_run_MBps": round(in_run_mbps, 1),
         "link_utilization": round(
-            fps_sustained / link_fps_ceiling if link_fps_ceiling else 0.0, 3),
+            in_run_mbps / ceiling_mbps if ceiling_mbps else 0.0, 3),
+        "link_busy_fraction": round(link_busy, 3),
     }
     print(json.dumps(result), flush=True)
     if args.json_out:
