@@ -30,9 +30,20 @@ from ..ops import (
     pixel_shuffle,
     resize,
     space_to_depth,
+    space_to_depth_mxu,
     upsample_tecogan,
 )
 from .torch_import import conv_from_torch
+
+
+def _s2d(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """The HR->LR space-to-depth of the warped previous frame: on TPU
+    the one-hot-conv form runs the big relayout on the MXU (18.6 ->
+    6.6 ms at 2880x5120 on v5e, bit-identical); elsewhere the reshape
+    form."""
+    if jax.default_backend() == "tpu":
+        return space_to_depth_mxu(x, r)
+    return space_to_depth(x, r)
 
 
 class EGVSRConfig(NamedTuple):
@@ -269,7 +280,7 @@ def frnet_step(
         hr_warp = jax.lax.cond(
             diff > cut_threshold, lambda: hr_prev.astype(lr_curr.dtype), flow_warp
         )
-    return srnet_apply(params["srnet"], lr_curr, space_to_depth(hr_warp, s))
+    return srnet_apply(params["srnet"], lr_curr, _s2d(hr_warp, s))
 
 
 def init_recurrent_state(n: int, h: int, w: int, cfg: EGVSRConfig = DEFAULT, dtype=jnp.float32):
@@ -332,7 +343,7 @@ def forward_sequence(params: dict, lr_data: jnp.ndarray, *, cfg: EGVSRConfig = D
     def body(hr_prev, inputs):
         lr_i, flow_i = inputs
         hr_warp = backward_warp(hr_prev, flow_i)
-        hr_i = srnet_apply(params["srnet"], lr_i, space_to_depth(hr_warp, s))
+        hr_i = srnet_apply(params["srnet"], lr_i, _s2d(hr_warp, s))
         return hr_i, hr_i
 
     lr_seq = jnp.moveaxis(lr_data[:, 1:], 1, 0)        # (T-1, N, H, W, C)
@@ -417,7 +428,7 @@ def infer_chunk(
             hr_warp = jax.lax.cond(
                 diff > cut_threshold, lambda: carry.astype(lr_i.dtype), do_warp
             )
-        hr = srnet_apply(params["srnet"], lr_i, space_to_depth(hr_warp, s))
+        hr = srnet_apply(params["srnet"], lr_i, _s2d(hr_warp, s))
         return hr, hr
 
     hr_last, hrs = jax.lax.scan(body, hr_prev, (lr_chunk, prevs, hr_flow))

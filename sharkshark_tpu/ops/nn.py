@@ -179,6 +179,33 @@ def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return x.reshape(n, h // r, w // r, r * r * c)
 
 
+def space_to_depth_mxu(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """space_to_depth with the W axis folded by a free reshape and the H
+    axis gathered by a one-hot stride-r conv on the MXU — bit-identical
+    to space_to_depth, avoiding XLA's transpose lowering for the big HR
+    relayout (the EGVSR step's s2d of the warped 4x frame).
+
+    The (w, c) -> (w/r, r*c) reshape already yields lane order dx*c + c_in;
+    the conv's kernel (r, 1) with stride (r, 1) lifts row offset dy into
+    the lane dim at block-offset-major order (dy*(r*c) + dx*c + c_in)."""
+    import numpy as _np
+
+    n, h, w, c = x.shape
+    r = factor
+    xf = x.reshape(n, h, w // r, r * c)
+    w_oh = _np.zeros((r, 1, r * c, r * r * c), _np.float32)
+    for dy in range(r):
+        for i in range(r * c):
+            w_oh[dy, 0, i, dy * r * c + i] = 1.0
+    return jax.lax.conv_general_dilated(
+        xf,
+        jnp.asarray(w_oh, x.dtype),
+        window_strides=(r, 1),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def pairfold_conv_weights(w: jnp.ndarray, ci_pad: int = 32) -> jnp.ndarray:
     """(3, 3, Ci, Co) -> (3, 3, 2*ci_pad, 2*ci_pad_out) block weights for
     conv2d_pairfold: two adjacent W pixels become one doubled-channel
