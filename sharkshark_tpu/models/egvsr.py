@@ -137,18 +137,46 @@ def _enc(p, x):
 
 def fnet_apply(params: dict, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """Optical flow x1 -> x2. Inputs NHWC in [0,1]; output (N, H', W', 2)
-    with H' = H//8*8 (restored to H by the caller's reflect pad)."""
+    with H' = H//8*8 (restored to H by the caller's reflect pad).
+
+    The full-resolution narrow stages (enc1: 6->32->32 and the flow
+    head: 64->32->2) run lane-folded on TPU (ops/lanefold.py) — they are
+    the MXU-starved part of FNet's cost at 720p."""
+    from ..ops.lanefold import (
+        conv3x3_folded,
+        fold_lanes,
+        lanefold_enabled,
+        unfold_lanes,
+    )
+
     p = params
-    out = _maxpool2(_enc(p["enc1"], jnp.concatenate([x1, x2], axis=-1)))
+    x = jnp.concatenate([x1, x2], axis=-1)
+    if lanefold_enabled(x.shape[-2], 4):
+        xf = fold_lanes(x, 4)
+        xf = leaky_relu(conv3x3_folded(xf, *_wb(p["enc1"][0]), 4), 0.2)
+        xf = leaky_relu(conv3x3_folded(xf, *_wb(p["enc1"][1]), 4), 0.2)
+        out = _maxpool2(unfold_lanes(xf, 4))
+    else:
+        out = _maxpool2(_enc(p["enc1"], x))
     out = _maxpool2(_enc(p["enc2"], out))
     out = _maxpool2(_enc(p["enc3"], out))
     h, w = out.shape[-3], out.shape[-2]
     out = resize(_enc(p["dec1"], out), (h * 2, w * 2), "bilinear")
     out = resize(_enc(p["dec2"], out), (h * 4, w * 4), "bilinear")
     out = resize(_enc(p["dec3"], out), (h * 8, w * 8), "bilinear")
-    out = leaky_relu(conv2d(out, **p["flow"][0], padding=1), 0.2)
-    out = conv2d(out, **p["flow"][1], padding=1)
+    if lanefold_enabled(out.shape[-2], 2):
+        of = fold_lanes(out, 2)
+        of = leaky_relu(conv3x3_folded(of, *_wb(p["flow"][0]), 2), 0.2)
+        of = conv3x3_folded(of, *_wb(p["flow"][1]), 2)
+        out = unfold_lanes(of, 2)
+    else:
+        out = leaky_relu(conv2d(out, **p["flow"][0], padding=1), 0.2)
+        out = conv2d(out, **p["flow"][1], padding=1)
     return jnp.tanh(out) * jnp.asarray(24.0, out.dtype)
+
+
+def _wb(p: dict):
+    return p["w"], p["b"]
 
 
 def _fold_conv_out(w: jnp.ndarray, b: jnp.ndarray, s: int):

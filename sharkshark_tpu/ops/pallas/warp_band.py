@@ -54,15 +54,21 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "banded_warp_supported",
     "banded_warp_bases",
+    "banded_warp_bases_for",
     "banded_backward_warp",
+    "WINDOW_TURBO",
     "WINDOW_FAST",
     "WINDOW_FULL",
 ]
 
 # output tile per grid step
 TY, TX = 8, 128
-# source window (rows x cols) variants: FAST for smooth flow, FULL sized
-# so that any flow within +-MAX_DISP fits regardless of roughness
+# source window (rows x cols) variants: TURBO for the nearly-uniform
+# in-tile flow a bilinearly-upsampled FNet field has almost everywhere
+# (the hat matmul's FLOPs and the window DMA both scale with rows, so
+# 24 vs 64 rows is ~2.7x less work), FAST for smooth flow, FULL sized so
+# that any flow within +-MAX_DISP fits regardless of roughness
+WINDOW_TURBO = (24, 384)
 WINDOW_FAST = (64, 384)
 WINDOW_FULL = (224, 512)
 # HBM DMA offsets must be tile-aligned (8 sublanes x 128 lanes), so the
@@ -85,17 +91,17 @@ def banded_warp_supported(x_shape: tuple[int, ...]) -> bool:
     return n == 1 and h % TY == 0 and w % TX == 0 and h >= TY and w >= TX
 
 
-def banded_warp_bases(
-    flow: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def banded_warp_bases_for(
+    flow: jnp.ndarray, windows: tuple[tuple[int, int], ...]
+) -> tuple[jnp.ndarray, jnp.ndarray, tuple[jnp.ndarray, ...]]:
     """Per-tile integer window bases from the flow field (on device).
 
     flow: (1, H, W, 2) with [..., 0] = dx, [..., 1] = dy in pixels.
-    Returns (bx, by, ok_fast, ok_full): int32 (H//TY, W//TX) window bases
-    relative to each tile's origin (shared by both variants — the grain
-    is the same), and two scalar bools: whether every tile's taps fit
-    the FAST window, and the FULL window (ok_full is False only when the
-    flow exceeds the +-MAX_DISP padding bound)."""
+    Returns (bx, by, oks): int32 (H//TY, W//TX) window bases relative to
+    each tile's origin (shared by every variant — the grain is the
+    same), and one scalar bool per requested window saying whether every
+    tile's taps fit it (False for any window when the flow exceeds the
+    +-MAX_DISP padding bound)."""
     _, h, w, _ = flow.shape
     ni, nj = h // TY, w // TX
     fx = flow[0, :, :, 0].astype(jnp.float32).reshape(ni, TY, nj, TX)
@@ -113,11 +119,19 @@ def banded_warp_bases(
         oks = [jnp.all((hi - base + 1.0 <= win) & in_bound) for win in wins]
         return base.astype(jnp.int32), oks
 
-    wins_c = (WINDOW_FAST[1], WINDOW_FULL[1])
-    wins_r = (WINDOW_FAST[0], WINDOW_FULL[0])
-    bx, okx = bases_1d(zx, TX, wins_c, COL_GRAIN)
-    by, oky = bases_1d(zy, TY, wins_r, ROW_GRAIN)
-    return bx, by, okx[0] & oky[0], okx[1] & oky[1]
+    bx, okx = bases_1d(zx, TX, [wn[1] for wn in windows], COL_GRAIN)
+    by, oky = bases_1d(zy, TY, [wn[0] for wn in windows], ROW_GRAIN)
+    return bx, by, tuple(a & b for a, b in zip(okx, oky))
+
+
+def banded_warp_bases(
+    flow: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Legacy 2-variant form: (bx, by, ok_fast, ok_full)."""
+    bx, by, (ok_fast, ok_full) = banded_warp_bases_for(
+        flow, (WINDOW_FAST, WINDOW_FULL)
+    )
+    return bx, by, ok_fast, ok_full
 
 
 def _s2d_perm(s: int, c: int) -> "np.ndarray":

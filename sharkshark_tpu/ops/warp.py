@@ -121,8 +121,9 @@ def backward_warp_fast(
     from .pallas.warp_band import (
         WINDOW_FAST,
         WINDOW_FULL,
+        WINDOW_TURBO,
         banded_backward_warp,
-        banded_warp_bases,
+        banded_warp_bases_for,
         banded_warp_supported,
     )
 
@@ -136,7 +137,8 @@ def backward_warp_fast(
     if not banded_warp_supported(x.shape) or not (on_tpu or interpret):
         return gather()
 
-    bx, by, ok_fast, ok_full = banded_warp_bases(flow)
+    windows = (WINDOW_TURBO, WINDOW_FAST, WINDOW_FULL)
+    bx, by, (ok_turbo, ok_fast, ok_full) = banded_warp_bases_for(flow, windows)
 
     def banded(window):
         return lambda: banded_backward_warp(
@@ -145,10 +147,12 @@ def backward_warp_fast(
             planar_out=planar_out, s2d_out=s2d_out,
         )
 
-    idx = jnp.where(ok_fast, 0, jnp.where(ok_full, 1, 2))
+    idx = jnp.where(
+        ok_turbo, 0, jnp.where(ok_fast, 1, jnp.where(ok_full, 2, 3))
+    )
     return jax.lax.switch(
         idx,
-        [banded(WINDOW_FAST), banded(WINDOW_FULL), gather],
+        [banded(WINDOW_TURBO), banded(WINDOW_FAST), banded(WINDOW_FULL), gather],
     )
 
 

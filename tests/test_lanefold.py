@@ -113,3 +113,17 @@ def test_egvsr_srnet_folded_matches_plain(monkeypatch):
     monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
     folded = egvsr.srnet_apply(params["srnet"], lr, hr_tran)
     np.testing.assert_allclose(np.asarray(folded), np.asarray(plain), rtol=0, atol=1e-4)
+
+
+def test_egvsr_fnet_folded_matches_plain(monkeypatch):
+    from sharkshark_tpu.models import egvsr
+
+    cfg = egvsr.EGVSRConfig(nb=1)
+    params = egvsr.init_params(jax.random.PRNGKey(0), cfg)
+    a = _rand(jax.random.PRNGKey(1), (1, 16, 24, 3)) * 0.5 + 0.5
+    b = _rand(jax.random.PRNGKey(2), (1, 16, 24, 3)) * 0.5 + 0.5
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "0")
+    plain = egvsr.fnet_apply(params["fnet"], a, b)
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    folded = egvsr.fnet_apply(params["fnet"], a, b)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain), rtol=0, atol=1e-5)

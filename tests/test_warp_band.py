@@ -136,3 +136,42 @@ def test_banded_warp_s2d_out_matches_xla_s2d():
         x, flow, compute_dtype=jnp.float32, interpret=True, s2d_out=4
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_turbo_window_matches_gather():
+    """The TURBO window (nearly-uniform in-tile flow: the common live
+    regime) must be exact where banded_warp_bases_for reports it ok."""
+    from sharkshark_tpu.ops.pallas.warp_band import (
+        WINDOW_TURBO,
+        banded_warp_bases_for,
+    )
+
+    h, w, c = 32, 256, 3
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (1, h, w, c), dtype=jnp.float32)
+    flow = _smooth_flow(jax.random.fold_in(key, 1), h, w, 3.0)
+    bx, by, (ok_turbo,) = banded_warp_bases_for(flow, (WINDOW_TURBO,))
+    assert bool(ok_turbo)
+    ref = backward_warp(x, flow)
+    got = banded_backward_warp(
+        x, flow, bx, by, window=WINDOW_TURBO, compute_dtype=jnp.float32,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_turbo_window_rejects_vertically_rough_flow():
+    from sharkshark_tpu.ops.pallas.warp_band import (
+        WINDOW_TURBO,
+        banded_warp_bases_for,
+    )
+
+    h, w = 16, 128
+    # 30 px of vertical flow range inside one tile exceeds TURBO's 24 rows
+    flow = (
+        jnp.zeros((1, h, w, 2))
+        .at[0, 1::2, :, 1].set(15.0)
+        .at[0, 0::2, :, 1].set(-15.0)
+    )
+    _, _, (ok_turbo,) = banded_warp_bases_for(flow, (WINDOW_TURBO,))
+    assert not bool(ok_turbo)
