@@ -363,7 +363,16 @@ def _shift_conv_chunk(p: dict, st: dict, x: jnp.ndarray, act: str):
     )
     inp = jnp.concatenate([fut, left, rest], axis=-1)
     tn, n, h, w, c = inp.shape
-    y = conv2d(inp.reshape(tn * n, h, w, c), **p, padding=1)
+    xb = inp.reshape(tn * n, h, w, c)
+    from ..ops.lanefold import conv3x3_folded, fold_lanes, lanefold_enabled, unfold_lanes
+
+    if c <= 64 and lanefold_enabled(w, 2):
+        # W-pair folded conv on the materialized shift input: with the
+        # folded form the conv itself is fast enough that XLA's
+        # construct-then-conv beats the fused Pallas tsm kernel at C=64
+        y = unfold_lanes(conv3x3_folded(fold_lanes(xb, 2), p["w"], p["b"], 2), 2)
+    else:
+        y = conv2d(xb, **p, padding=1)
     y = _act(y, act).reshape(tn, n, h, w, -1)
     new_center = x[-1]
     new_left = x[-2, ..., fold : 2 * fold] if t >= 2 else st["center"][..., fold : 2 * fold]

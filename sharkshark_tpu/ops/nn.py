@@ -96,12 +96,30 @@ def depthwise_conv2d(
 ) -> jnp.ndarray:
     """Depthwise conv; w: HWI1 -> applied per channel.  pad_mode 'reflect'
     mirrors torch's padding_mode='reflect' used by the gaussian blur /
-    sharpen kernels (reference fsrcnn_upscaler.py:47-48,76-80)."""
+    sharpen kernels (reference fsrcnn_upscaler.py:47-48,76-80).
+
+    Small kernels (<= 3x3) run as a fused shift-multiply-add instead of
+    a grouped conv: XLA's TPU lowering of C=3 depthwise convs is both
+    slow (10.9 -> 5.2 ms for the 1440p HR sharpen on v5e) and silently
+    reduced-precision (f32 convs ride the bf16 MXU by default; the
+    VPU shift-add keeps full f32)."""
     c = x.shape[-1]
     if pad_mode != "zero" and padding > 0:
         x = pad2d(x, padding, mode=pad_mode)
         padding = 0
     kh, kw, _, _ = w.shape
+    if kh * kw <= 9 and w.shape[2] == 1:
+        if padding > 0:
+            x = pad2d(x, padding, mode="zero")
+        h_out = x.shape[-3] - kh + 1
+        w_out = x.shape[-2] - kw + 1
+        acc = None
+        for dy in range(kh):
+            for dx in range(kw):
+                tap = w[dy, dx, 0].astype(x.dtype)  # (1,) or (c,)
+                t = x[..., dy : dy + h_out, dx : dx + w_out, :] * tap
+                acc = t if acc is None else acc + t
+        return acc
     w = jnp.broadcast_to(w, (kh, kw, 1, c)) if w.shape[-1] != c else w
     return conv2d(x, w, stride=1, padding=padding, groups=c)
 
