@@ -5,12 +5,18 @@ floors from the measured chip envelope, compare the measured fps, and
 project what a full-rate v5e (197 TFLOP/s bf16, 819 GB/s HBM) delivers.
 
 Floors are per-layer max(MXU, HBM) summed over the SRVGG body (the conv
-chain dominates; the fused epilogue adds one tail-conv-sized term). The
-dev-chip envelope comes from BASELINE.md round-2 probes:
-  in-graph N=64-width MXU bound: ~67 TFLOP/s (the batched conv chain
-  achieves more than the isolated-conv probe's 46.6) vs 134 TFLOP/s at
-  full MXU width -> width efficiency 0.5
-  HBM copy: ~220 GB/s measured vs 819 spec.
+chain dominates; the fused epilogue adds one tail-conv-sized term).
+
+Round-3 model: the lane-folded body (ops/lanefold.py, 2x MACs at dense
+128 lanes) sustains ~139 TF/s of folded MACs in-graph = ~70 TF/s on the
+ORIGINAL conv FLOPs — the r2 "C=64 width bound" is retired (it was a
+lowering artifact; see BASELINE.md).  The dev-chip rate here is that
+measured effective-original rate; the v5e projection scales the folded
+rate to the 197 TF/s spec (same 2x MAC overhead -> 98.5 effective).
+The in-graph rate varies ~15 % with shape (1080p sustains ~78 TF/s
+effective vs 720p's 70), so treat floors as estimates: measured fps
+within +-15 % of the floor means the rung is rate-bound, not that the
+model is exact.
 
 Usage: python tools/project_ladder.py [--measured fps.json]
   --measured: bench_matrix.py JSON output to merge measured fps rows;
@@ -23,10 +29,14 @@ import argparse
 import json
 import sys
 
-# measured dev-chip envelope (BASELINE.md round 2)
-DEV_MXU_C64 = 67.0e12        # in-graph conv-chain bound at C=64
-DEV_MXU_FULLWIDTH = 134.0e12
-DEV_HBM = 220e9
+# measured dev-chip envelope (BASELINE.md round 3, lane-folded body)
+DEV_MXU_C64 = 70.0e12        # effective rate on ORIGINAL FLOPs (139/2)
+DEV_MXU_FULLWIDTH = 139.0e12  # sustained folded-MAC rate in-graph
+# In-graph conv activations stream at ~300 GB/s (0.8 ms/conv-frame at
+# 236 MB r+w), ABOVE the 166-230 GB/s eltwise probes — another probe vs
+# in-graph discrepancy on this tunnel; the higher figure is the one the
+# body actually achieves, so it is the honest floor denominator
+DEV_HBM = 300e9
 # v5e spec
 V5E_MXU = 197e12
 V5E_HBM = 819e9
