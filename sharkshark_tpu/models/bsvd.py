@@ -485,9 +485,20 @@ def _lanefold_on(x_shape) -> bool:
 
 def _fold_batched(fn, p, x, act, f):
     """Apply a lanefold conv over the (T, N) leading dims of a folded
-    tensor x: (T, N, H, Wp, lanes)."""
+    tensor x: (T, N, H, Wp, lanes).  Stride-1 convs optionally ride the
+    H-split batch trick (SHARKSHARK_HSPLIT row bands; XLA's conv
+    lowering underutilizes at small batch on v5e)."""
+    import os
+
+    from ..ops.lanefold import conv3x3_folded, conv3x3_folded_hsplit
+
     t, n = x.shape[:2]
-    y = fn(x.reshape(t * n, *x.shape[2:]), p["w"], p["b"], f)
+    xb = x.reshape(t * n, *x.shape[2:])
+    parts = int(os.environ.get("SHARKSHARK_HSPLIT", "0"))
+    if fn is conv3x3_folded and parts > 1 and x.shape[2] % parts == 0:
+        y = conv3x3_folded_hsplit(xb, p["w"], p["b"], f, parts=parts)
+    else:
+        y = fn(xb, p["w"], p["b"], f)
     if act is not None:
         y = _act(y, act)
     return y.reshape(t, n, *y.shape[1:])

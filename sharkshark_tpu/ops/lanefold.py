@@ -102,6 +102,36 @@ def conv3x3_folded(
     return y
 
 
+def conv3x3_folded_hsplit(
+    xf: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None, f: int,
+    parts: int = 2,
+) -> jnp.ndarray:
+    """conv3x3_folded with each image split into `parts` row bands that
+    ride the conv's BATCH dim (1-row zero/neighbour halos keep it exact:
+    a zero halo row at the global edges reproduces the conv's own zero
+    padding, an interior halo row is the neighbour band's edge row).
+    XLA's conv lowering on v5e underutilizes at small batch; N=2x at
+    half the rows measured ~2x the TFLOP/s at the BSVD chunk's T=4
+    shapes."""
+    n, h, wp, L = xf.shape
+    assert h % parts == 0, (h, parts)
+    hh = h // parts
+    wf = _fold3x3_weights(w, f).astype(xf.dtype)
+    z = jnp.zeros((n, 1, wp, L), xf.dtype)
+    xpad = jnp.concatenate([z, xf, z], axis=1)
+    xs = jnp.concatenate(
+        [xpad[:, i * hh : i * hh + hh + 2] for i in range(parts)], axis=0
+    )
+    y = jax.lax.conv_general_dilated(
+        xs, wf, (1, 1), ((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jnp.concatenate([y[i * n : (i + 1) * n] for i in range(parts)], axis=1)
+    if b is not None:
+        y = y + jnp.tile(b, f).astype(y.dtype)
+    return y
+
+
 def _fold_stride2_weights(w: jnp.ndarray, f_in: int) -> jnp.ndarray:
     """(3, 3, ci, co) -> (3, 2, f_in*ci, (f_in//2)*co) folded stride-2
     kernel.  Output sub-pixel v (original out col f_out*J + v) reads

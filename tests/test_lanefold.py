@@ -127,3 +127,16 @@ def test_egvsr_fnet_folded_matches_plain(monkeypatch):
     monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
     folded = egvsr.fnet_apply(params["fnet"], a, b)
     np.testing.assert_allclose(np.asarray(folded), np.asarray(plain), rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("parts", [2, 4])
+def test_conv3x3_folded_hsplit(parts):
+    from sharkshark_tpu.ops.lanefold import conv3x3_folded, conv3x3_folded_hsplit
+
+    k = jax.random.PRNGKey(parts)
+    x = _rand(k, (2, 8, 4, 128))
+    w = _rand(jax.random.fold_in(k, 1), (3, 3, 32, 32))
+    b = _rand(jax.random.fold_in(k, 2), (32,))
+    ref = conv3x3_folded(x, w, b, 4)
+    got = conv3x3_folded_hsplit(x, w, b, 4, parts=parts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=2e-5)
