@@ -177,3 +177,45 @@ def test_sharded_egvsr_step_matches_single_device():
         out2, _ = fn(params, new_state, frame)
     diff = np.abs(np.asarray(out, np.int16) - np.asarray(ref, np.int16))
     assert diff.max() <= 1
+
+
+def test_sharded_denoise_warm_lanefold(monkeypatch):
+    """Warm sharded denoise with the lane-folded stage forced on: the
+    fold/unfold reshapes must compose with the W-sharding (XLA SPMD
+    reshards the folded tensors; output still matches the unsharded
+    warm step)."""
+    from sharkshark_tpu.models import bsvd
+    from sharkshark_tpu.parallel import make_sharded_denoise
+    from sharkshark_tpu.upscale import init_denoise_state, upscale_batch_denoise
+
+    bcfg = bsvd.BSVDConfig(chns=(8, 16, 32), mid_ch=8, in_ch=4, out_ch=3, interm_ch=6)
+    spec = UpscaleSpec(lr_shape=(32, 64), output_shape=(64, 128),
+                       compute_dtype=jnp.float32)
+    params = {
+        "sr": srvgg.init_params(jax.random.PRNGKey(0), TINY),
+        "denoise": bsvd.init_params(jax.random.PRNGKey(1), bcfg),
+    }
+    frames = jax.random.randint(
+        jax.random.PRNGKey(2), (4, 32, 64, 3), 0, 256, jnp.uint8
+    )
+    # reach the warm regime (t >= 15) before comparing
+    state = init_denoise_state(1, spec, bcfg)
+    for _ in range(4):
+        _, state = upscale_batch_denoise(
+            lambda p, x: srvgg.apply(p, x, cfg=TINY), params, state, frames,
+            spec, bcfg,
+        )
+
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    ref, _ = upscale_batch_denoise(
+        lambda p, x: srvgg.apply(p, x, cfg=TINY), params, state, frames,
+        spec, bcfg, warm=True,
+    )
+    mesh = make_mesh(8, spatial=2)
+    fn = make_sharded_denoise(
+        lambda p, x: srvgg.apply(p, x, cfg=TINY), spec, mesh, bcfg, warm=True
+    )
+    with mesh:
+        out, _ = fn(params, state, frames)
+    diff = np.abs(np.asarray(out, np.int16) - np.asarray(ref, np.int16))
+    assert diff.max() <= 1
