@@ -140,3 +140,23 @@ def test_conv3x3_folded_hsplit(parts):
     ref = conv3x3_folded(x, w, b, 4)
     got = conv3x3_folded_hsplit(x, w, b, 4, parts=parts)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=2e-5)
+
+
+def test_folded_paths_differentiate(monkeypatch):
+    """Training on TPU routes through the folded bodies — gradients must
+    flow (the fold is plain lax.conv + weight scatter, both
+    differentiable)."""
+    from sharkshark_tpu.models import srvgg
+
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    cfg = srvgg.SRVGGConfig(num_conv=2, num_feat=8)
+    params = srvgg.init_params(jax.random.PRNGKey(0), cfg)
+    x = _rand(jax.random.PRNGKey(1), (1, 8, 12, 3)) * 0.5 + 0.5
+
+    def loss(p):
+        return jnp.mean(srvgg.apply(p, x, cfg=cfg) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
