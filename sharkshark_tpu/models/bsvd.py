@@ -367,10 +367,13 @@ def _shift_conv_chunk(p: dict, st: dict, x: jnp.ndarray, act: str):
     from ..ops.lanefold import conv3x3_folded, fold_lanes, lanefold_enabled, unfold_lanes
 
     if c <= 64 and lanefold_enabled(w, 2):
-        # W-pair folded conv on the materialized shift input: with the
-        # folded form the conv itself is fast enough that XLA's
-        # construct-then-conv beats the fused Pallas tsm kernel at C=64
-        y = unfold_lanes(conv3x3_folded(fold_lanes(xb, 2), p["w"], p["b"], 2), 2)
+        # W-pair folded conv on the materialized shift input.  This is
+        # the FALLBACK formulation (cold/warm-up chunks, T=1 tails,
+        # SHARKSHARK_TSM=0, kernel-unsupported shapes) — the warm path
+        # routes C=64/128 to the fused Pallas tsm kernel first, which
+        # still beats construct+folded-conv (16.0 vs 18.9 ms/frame at
+        # T=8, BASELINE.md round 3)
+        y = unfold_lanes(conv3x3_folded(fold_lanes(xb, 2), p["w"], p.get("b"), 2), 2)
     else:
         y = conv2d(xb, **p, padding=1)
     y = _act(y, act).reshape(tn, n, h, w, -1)
@@ -472,15 +475,18 @@ def _mem_chunk(p, st, x, act, first_idx, t_end, warm=False):
     return y, {"c1": s1, "c2": s2}
 
 
-def _lanefold_on(x_shape) -> bool:
-    """Route the warm chunk's full-res C<=32 stage through the
-    lane-folded convs (ops/lanefold.py; SHARKSHARK_LANEFOLD gate).
-    Measured on the dev v5e the folded stage runs ~2x faster (chained
-    C=32 conv 8.5 -> 4.3 ms at 720p/N=4, BASELINE.md round 3)."""
+def _lanefold_on(x_shape, c0: int) -> bool:
+    """Route the warm chunk's full-res stage through the lane-folded
+    convs (ops/lanefold.py; SHARKSHARK_LANEFOLD gate).  Only pays when
+    f=4 folding lands AT the 128-lane MXU width, i.e. the stage width
+    c0 (cfg.chns[0]) <= 32 — BSVD_64's C=64 stage would fold to 256+
+    lanes and pay 4x MACs for nothing.  Measured on the dev v5e the
+    folded C=32 stage runs ~2x faster (chained conv 8.5 -> 4.3 ms at
+    720p/N=4, BASELINE.md round 3)."""
     from ..ops.lanefold import lanefold_enabled
 
     t, n, h, w, c = x_shape
-    return h % 4 == 0 and lanefold_enabled(w, 4)
+    return c0 <= 32 and h % 4 == 0 and lanefold_enabled(w, 4)
 
 
 def _fold_batched(fn, p, x, act, f):
@@ -496,9 +502,9 @@ def _fold_batched(fn, p, x, act, f):
     xb = x.reshape(t * n, *x.shape[2:])
     parts = int(os.environ.get("SHARKSHARK_HSPLIT", "0"))
     if fn is conv3x3_folded and parts > 1 and x.shape[2] % parts == 0:
-        y = conv3x3_folded_hsplit(xb, p["w"], p["b"], f, parts=parts)
+        y = conv3x3_folded_hsplit(xb, p["w"], p.get("b"), f, parts=parts)
     else:
-        y = fn(xb, p["w"], p["b"], f)
+        y = fn(xb, p["w"], p.get("b"), f)
     if act is not None:
         y = _act(y, act)
     return y.reshape(t, n, *y.shape[1:])
@@ -544,7 +550,7 @@ def _fifo(carry: jnp.ndarray, chunk: jnp.ndarray):
 def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
     """One DenBlock over a chunk.  x: (T, N, H, W, in_ch) for frames
     [base, base+T); returns output frames [base-8, base+T-8)."""
-    if warm and _lanefold_on(x.shape):
+    if warm and _lanefold_on(x.shape, p["inc1"]["w"].shape[-1]):
         return _denblock_chunk_folded(p, st, x, act, base, t_end)
     skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
     x0 = _conv_batched(p["inc1"], _conv_batched(p["inc0"], x, act), act)

@@ -176,7 +176,7 @@ def fnet_apply(params: dict, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _wb(p: dict):
-    return p["w"], p["b"]
+    return p["w"], p.get("b")
 
 
 def _fold_conv_out(w: jnp.ndarray, b: jnp.ndarray, s: int):

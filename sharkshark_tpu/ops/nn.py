@@ -183,7 +183,16 @@ def pixel_shuffle_mxu(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         padding=[(r - 1, r - 1)] * 2,
         lhs_dilation=(r, r),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_onehot_precision(x.dtype),
     )
+
+
+def _onehot_precision(dtype):
+    """One-hot relayout matmuls move values exactly only if the MXU does
+    not round the inputs: f32 operands need Precision.HIGHEST (the TPU
+    default silently computes f32 convs in bf16); bf16 operands are
+    exact at default precision (single-term sums of bf16 values)."""
+    return None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
 
 def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -221,6 +230,7 @@ def space_to_depth_mxu(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         window_strides=(r, 1),
         padding=[(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_onehot_precision(x.dtype),
     )
 
 

@@ -84,11 +84,14 @@ class BaseUpscalerService(BaseService):
         from collections import deque
 
         self._inflight: deque = deque()
-        # cumulative wall seconds blocked in the host fetch (transfer wait):
-        # over a link-bound window, delta(fetch_busy_s)/delta(wall) ~ 1.0
-        # means the pipeline kept the device->host link saturated —
-        # tools/bench_e2e.py reads this for its link_busy_fraction metric,
-        # which unlike a probe-based ceiling is immune to link-rate drift
+        # cumulative wall seconds blocked in the host fetch (device wait +
+        # transfer wait): over a LINK-BOUND window (device step much
+        # faster than the link, the regime of this dev host),
+        # delta(fetch_busy_s)/delta(wall) ~ 1.0 means the pipeline kept
+        # the device->host link saturated — tools/bench_e2e.py reads this
+        # for its link_busy_fraction metric, which unlike a probe-based
+        # ceiling is immune to link-rate drift.  In a compute-bound
+        # regime the same number reflects device-compute wait instead.
         self.fetch_busy_s: float = 0.0
 
     def proc_job_recieved(self, job: UpscalerQueueEntry):

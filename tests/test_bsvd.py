@@ -265,12 +265,10 @@ def test_chunk_step_warm_matches_cold():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_chunk_step_warm_lanefold_matches_cold():
+def test_chunk_step_warm_lanefold_matches_cold(monkeypatch):
     """The lane-folded warm chunk (SHARKSHARK_LANEFOLD=force) is a
     re-parametrization of the same sums — outputs and state must match
     the cold path within accumulation-order tolerance."""
-    import os
-
     import jax
 
     params = bsvd.init_params(jax.random.PRNGKey(0), CFG)
@@ -282,11 +280,8 @@ def test_chunk_step_warm_lanefold_matches_cold():
     for i in range(4):
         _, st = bsvd.chunk_step(params, st, frames[i * T : (i + 1) * T], cfg=CFG)
     cold, st_cold = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG)
-    os.environ["SHARKSHARK_LANEFOLD"] = "force"
-    try:
-        warm, st_warm = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG, warm=True)
-    finally:
-        del os.environ["SHARKSHARK_LANEFOLD"]
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    warm, st_warm = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG, warm=True)
     np.testing.assert_allclose(
         np.asarray(warm), np.asarray(cold), rtol=0, atol=1e-4
     )
@@ -297,12 +292,10 @@ def test_chunk_step_warm_lanefold_matches_cold():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-4)
 
 
-def test_chunk_step_warm_lanefold_production_cfg():
+def test_chunk_step_warm_lanefold_production_cfg(monkeypatch):
     """Same check at the production channel widths (BSVD_32) on a tiny
     spatial grid — exercises the f=4/f=2 stride and ps2 folded kernels at
     the real channel counts."""
-    import os
-
     import jax
 
     cfg = bsvd.BSVD_32
@@ -315,9 +308,14 @@ def test_chunk_step_warm_lanefold_production_cfg():
     for i in range(8):  # 16 frames -> t == 16 >= 15
         _, st = bsvd.chunk_step(params, st, frames[i * T : (i + 1) * T], cfg=cfg)
     cold, _ = bsvd.chunk_step(params, st, frames[16:18], cfg=cfg)
-    os.environ["SHARKSHARK_LANEFOLD"] = "force"
-    try:
-        warm, _ = bsvd.chunk_step(params, st, frames[16:18], cfg=cfg, warm=True)
-    finally:
-        del os.environ["SHARKSHARK_LANEFOLD"]
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    warm, _ = bsvd.chunk_step(params, st, frames[16:18], cfg=cfg, warm=True)
     np.testing.assert_allclose(np.asarray(warm), np.asarray(cold), rtol=0, atol=1e-4)
+
+
+def test_lanefold_gate_rejects_wide_stage(monkeypatch):
+    """BSVD_64's C=64 full-res stage must NOT fold (f=4 would exceed the
+    128-lane MXU width and pay 4x MACs for nothing)."""
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    assert bsvd._lanefold_on((4, 1, 8, 16, 4), 32)
+    assert not bsvd._lanefold_on((4, 1, 8, 16, 4), 64)

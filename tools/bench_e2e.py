@@ -207,7 +207,12 @@ def main() -> dict:
         # fraction of the steady window the pipeline spent blocked on the
         # device->host fetch: the drift-immune saturation signal (the
         # tunnel's rate moves 2-4x minute to minute, so a probe taken
-        # before the run is not a trustworthy denominator by itself)
+        # before the run is not a trustworthy denominator by itself).
+        # CAVEAT: the fetch wait includes device-compute wait, so this
+        # reads "link saturated" only in the link-bound regime — valid
+        # here because the device step (31 fps, bench.py) is an order of
+        # magnitude faster than this host's link; on a compute-bound
+        # setup interpret the device-step fps instead.
         link_busy = min(1.0, (tail[-1][2] - tail[0][2]) / span)
     else:
         fps_sustained = in_run_mbps = link_busy = 0.0
