@@ -378,6 +378,15 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     from .http_util import serve
 
+    # initialize the jax backend from the MAIN thread before the worker
+    # thread exists: PJRT plugin discovery (e.g. the axon dev-tunnel
+    # platform) is not reliable when the very first backend init happens
+    # inside a daemon thread — observed as "Backend 'axon' is not in the
+    # list of known backends" from the upscaler worker
+    import jax
+
+    log.info("jax devices: %s", jax.devices())
+
     backend = ImageBackend(use_cache=args.use_cache)
     log.info("image backend on %s:%d", args.host, args.port)
     serve(backend.app, args.port, args.host)
