@@ -22,6 +22,7 @@ import queue
 import time
 
 from .runtime import EOF
+from .runtime.profiler import Profiler
 from .stream import Recoder, RecoderEntry, Streamer, StreamerEntry
 from .upscale.levels import HR_LEVELS
 from .upscale.service import EsrganUpscalerService, UpscalerQueueEntry
@@ -131,23 +132,33 @@ class UpscalePipeline:
         audio_per = len(audio) // n_micro if audio is not None else 0
         for i in range(n_micro):
             try:
-                entry.profiler.start("recoder.output.entry")
+                # each micro-batch carries its OWN Profiler: with the
+                # upscaler's in-flight ring, micro-batch k+1's start()
+                # can race k's end() on the same region from different
+                # stage threads, zeroing the very timings the telemetry
+                # exists to report.  Capture-level gauges are copied in.
+                prof = Profiler()
+                prof.data.update(entry.profiler.data)
+                # per-micro-batch queue-wait region (ended by the
+                # upscaler service when it picks the job up)
+                prof.start("recoder.output")
+                prof.start("recoder.output.entry")
                 frames = entry.frames[i * sbs : (i + 1) * sbs]
                 seg = (
                     audio[i * audio_per : (i + 1) * audio_per]
                     if audio is not None
                     else None
                 )
-                entry.profiler.set("recoder.output.frames.shape", str(frames.shape))
+                prof.set("recoder.output.frames.shape", str(frames.shape))
                 new_entry = UpscalerQueueEntry(
                     frames=frames,
                     audio_segment=seg,
                     step=self.frame_step,
-                    profiler=entry.profiler,
+                    profiler=prof,
                     captured_at=getattr(entry, "captured_at", 0.0) or time.time(),
                 )
                 self.frame_step += 1
-                entry.profiler.end("recoder.output.entry")
+                prof.end("recoder.output.entry")
                 if self.frame_skips:
                     self._shed_stale()
                     self.upscaler.push_job_nowait(new_entry)

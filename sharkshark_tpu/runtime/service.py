@@ -185,6 +185,15 @@ class BaseService:
                 traceback.print_exc()
                 os.kill(os.getpid(), signal.SIGINT)
             else:
+                # fail-open shutdown: forward EOF downstream and mark our
+                # own EOF so pipeline join()/wait_eof() unblocks instead
+                # of hanging forever on a dead stage; the error itself
+                # stays visible through check_proc()/ServiceDeadException
+                try:
+                    self._deliver(EOF_SENTINEL)
+                except BaseException:  # noqa: BLE001 — downstream may be dead too
+                    pass
+                self._eof_seen.set()
                 raise
         finally:
             self._dead = self._error is not None

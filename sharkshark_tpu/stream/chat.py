@@ -27,10 +27,15 @@ IRC_HOST = "irc.twitch.tv"
 IRC_PORT = 6667
 SEND_INTERVAL = 5.0  # reference chat.py:165
 
+# the reference's pattern (chat.py:63) quantifies the failure text with
+# `*`, which also matches the bare NOTICE prefix but NOT Twitch's actual
+# modern reply ("Login authentication failed") — extended here so real
+# auth failures raise instead of busy-looping in connect()
 _LOGIN_FAIL = re.compile(
     r"^:(testserver\.local|tmi\.twitch\.tv)"
     r" NOTICE \* :"
-    r"(Login unsuccessful|Error logging in)*$"
+    r"(Login unsuccessful|Error logging in|Login authentication failed"
+    r"|Improperly formatted auth)"
 )
 _PING = re.compile(r"^PING :tmi\.twitch\.tv$")
 _JOIN = re.compile(
@@ -84,8 +89,12 @@ class ChatStream:
             self.sock.close()
         self.sock = s
         self.join_channel(self.username)
+        deadline = time.time() + 30
         while self.current_channel != self.username:
-            self.receive_messages()
+            if time.time() > deadline:
+                raise IOError("IRC JOIN not acknowledged within 30 s")
+            if not self.receive_messages():
+                time.sleep(0.05)
 
     def __enter__(self):
         if self.sock is None:
@@ -117,7 +126,13 @@ class ChatStream:
 
     def _handle_line(self, line: str) -> dict | None:
         if _PING.match(line):
-            self.buffer.append("PONG\n")
+            # keepalive is NOT subject to flood control: behind the 5 s
+            # rate limiter a queued PONG would miss Twitch's ~10 s window
+            # and drop the connection
+            try:
+                self.sock.send(b"PONG :tmi.twitch.tv\r\n")
+            except OSError:
+                self.buffer.insert(0, "PONG\n")
         joined = _JOIN.match(line)
         if joined:
             self.current_channel = joined.group(1)

@@ -119,8 +119,12 @@ def encode_cmd(
             "-i", audio_fifo,
         ]
     else:
+        # -shortest: anullsrc is infinite — without it the encoder never
+        # exits on video-stdin EOF (close() would SIGKILL it after 10 s,
+        # truncating muxer-buffered tail frames and appending silence)
         cmd += ["-f", "lavfi", "-i",
-                f"anullsrc=channel_layout=stereo:sample_rate={AUDIO_RATE}"]
+                f"anullsrc=channel_layout=stereo:sample_rate={AUDIO_RATE}",
+                "-shortest"]
     cmd += [
         "-c:v", "libx264",
         "-crf", str(crf),
@@ -200,17 +204,40 @@ class RawFrameSource:
 
     def grab(self, timeout: float | None = 30) -> np.ndarray | None:
         """Next payload as an array; None on EOF (or, non-blocking, when
-        the FIFO is momentarily empty)."""
+        the FIFO is momentarily empty).
+
+        A read timeout is a STALL, not EOF: while the decoder process is
+        alive we keep waiting in 1 s slices (the reference's pipe read
+        blocks indefinitely — treating an ad-break/CDN stall as EOF
+        would tear the pipeline down mid-broadcast).  `timeout` bounds
+        only the residual wait once the process has exited or
+        terminate() was called."""
         if self._pump is not None:
             if not self.blocking and self._pump.depth == 0:
                 return None
-            return self._pump.grab(timeout or 30)
+            while True:
+                out = self._pump.grab(1.0)
+                if out is not None:
+                    return out
+                if self._terminated or self._pump.eof:
+                    return None
+                if self._proc is not None and self._proc.poll() is not None:
+                    return self._pump.grab(timeout or 30)  # drain grace
         if not self.blocking and self._fifo.empty():
             return None
-        try:
-            payload = self._fifo.get(timeout=timeout)
-        except queue.Empty:
-            return None
+        while True:
+            try:
+                payload = self._fifo.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if self._terminated:
+                    return None
+                if self._proc is not None and self._proc.poll() is not None:
+                    try:
+                        payload = self._fifo.get(timeout=timeout)
+                    except queue.Empty:
+                        return None
+                    break
         if payload is None:
             return None
         return np.frombuffer(payload, self.dtype).reshape(self.shape)

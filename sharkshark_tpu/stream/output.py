@@ -49,11 +49,17 @@ def get_closest_ingest(stream_key: str) -> str:
 class _PacedChannel:
     """Ordered bounded buffer + one pacer thread writing at a fixed period."""
 
-    def __init__(self, name: str, period: float, write, maxsize: int = BUFFER_QSIZE):
+    def __init__(self, name: str, period: float, write, maxsize: int = BUFFER_QSIZE,
+                 underrun_fill=None):
         self.name = name
         self.period = period
         self.write = write
         self.maxsize = maxsize
+        # on underrun the video channel repeats its last frame (freeze-
+        # frame, correct), but audio must NOT replay the previous PCM
+        # segment (audible stutter/echo) — underrun_fill maps the last
+        # item to a silence item of the same shape
+        self.underrun_fill = underrun_fill
         self._heap: list[tuple[int, int, object]] = []
         self._seq = 0
         self._lock = threading.Condition()
@@ -123,6 +129,8 @@ class _PacedChannel:
                     self._last = item
                 else:
                     item = self._last
+                    if item is not None and self.underrun_fill is not None:
+                        item = self.underrun_fill(item)
                     self._underruns += 1
             if item is not None:
                 try:
@@ -179,6 +187,9 @@ class BufferedOutputStream:
                 "audio",
                 1.0 / fps,
                 lambda seg: self.sink.send_audio(seg[0], seg[1]),
+                underrun_fill=lambda seg: (
+                    np.zeros_like(seg[0]), np.zeros_like(seg[1])
+                ),
             )
             if enable_audio
             else None

@@ -130,27 +130,13 @@ class Recoder(BaseService):
                     frame = self._postprocess(frame)
                     frames.append(frame)
 
-                if eof:
-                    if self.reconnects < self.max_reconnects:
-                        self.reconnects += 1
-                        log.warning(
-                            "stream EOF; reconnect %d/%d",
-                            self.reconnects,
-                            self.max_reconnects,
-                        )
-                        self.proc_cleanup()
-                        self._image_grabber = None
-                        self._audio_grabber = None
-                        try:
-                            self.proc_init()
-                            continue
-                        except Exception as ex:  # noqa: BLE001
-                            log.error("reconnect failed: %s", ex)
-                    self._deliver(self._eof())
-                    self._eof_seen.set()
-                    break
                 if not frames:
-                    continue
+                    if not eof:
+                        continue
+                    # EOF with an empty tick: straight to reconnect/sentinel
+                    if self._handle_eof():
+                        continue
+                    break
 
                 audio = self._audio_grabber.grab() if self._audio_grabber else None
                 if self.audio_skip > 0 and audio is not None:
@@ -176,13 +162,48 @@ class Recoder(BaseService):
                 entry.profiler.start("recoder.output")
                 self._deliver(entry)
                 index += 1
+                if eof:
+                    # the partial last batch above is delivered BEFORE the
+                    # sentinel/reconnect — a VOD's tail frames must not be
+                    # silently truncated (same drain guarantee as the BSVD
+                    # lookahead flush downstream)
+                    if self._handle_eof():
+                        continue
+                    break
         except BaseException as ex:  # noqa: BLE001
             self._error = ex
             self._dead = True
+            try:
+                self._deliver(self._eof())
+            except BaseException:  # noqa: BLE001 — downstream may be dead
+                pass
+            self._eof_seen.set()
             raise
         finally:
             self._dead = self._error is not None
             self.proc_cleanup()
+
+    def _handle_eof(self) -> bool:
+        """Source EOF: returns True to continue (reconnected), False to
+        exit after delivering the EOF sentinel downstream."""
+        if self.reconnects < self.max_reconnects:
+            self.reconnects += 1
+            log.warning(
+                "stream EOF; reconnect %d/%d",
+                self.reconnects,
+                self.max_reconnects,
+            )
+            self.proc_cleanup()
+            self._image_grabber = None
+            self._audio_grabber = None
+            try:
+                self.proc_init()
+                return True
+            except Exception as ex:  # noqa: BLE001
+                log.error("reconnect failed: %s", ex)
+        self._deliver(self._eof())
+        self._eof_seen.set()
+        return False
 
     def _eof(self):
         from ..runtime.service import EOF_SENTINEL

@@ -16,6 +16,7 @@ from __future__ import annotations
 import io
 import queue
 import threading
+import time
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -102,11 +103,22 @@ class YoutubeImageRecoder:
             start = self.worker_queue.get()
             if start is None:
                 return
-            content = self._fetch_range(start, start + self.chunk_size - 1)
+            # retry in-worker with backoff: re-putting into the bounded
+            # worker_queue can deadlock every worker when fetches fail
+            # simultaneously (all blocked in put() on a full queue, none
+            # consuming), and a permanently-403 URL must error out, not
+            # spin forever
+            content = None
+            for attempt in range(8):
+                content = self._fetch_range(start, start + self.chunk_size - 1)
+                if content is not None or self.terminated:
+                    break
+                time.sleep(min(2.0**attempt * 0.25, 10.0))
             if content is not None:
                 self.chunk_queue.put((start, content))
             else:
-                self.worker_queue.put(start)  # retry
+                log.error("chunk at %d failed after retries; aborting", start)
+                self.chunk_queue.put((start, None))  # poison -> _proc_main
 
     def _proc_main(self) -> None:
         try:
@@ -114,6 +126,15 @@ class YoutubeImageRecoder:
         except ImportError:
             self.frame_queue.put(None)
             raise RuntimeError("PyAV is required for YouTube/VOD ingest")
+        try:
+            self._decode_loop(av)
+        except BaseException:  # noqa: BLE001
+            # ALWAYS deliver the EOF marker: a demux/decode error must not
+            # leave grab() blocked forever on an empty queue
+            self.frame_queue.put(None)
+            raise
+
+    def _decode_loop(self, av) -> None:
 
         assembler = ChunkAssembler(self.chunk_size)
         stream = io.BytesIO(b"0" * self.content_size)
@@ -130,6 +151,8 @@ class YoutubeImageRecoder:
                 scheduled += self.chunk_size
 
             start, content = self.chunk_queue.get()
+            if content is None:  # worker gave up on a chunk
+                raise RuntimeError(f"VOD chunk fetch failed at offset {start}")
             for chunk in assembler.add(start, content):
                 stream.seek(stream_position)
                 stream.write(chunk)

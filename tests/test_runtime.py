@@ -187,3 +187,31 @@ def test_inflight_ring_tracks_fetch_busy_time():
     svc.get_result(timeout=5)
     assert svc.fetch_busy_s > 0.0
     svc.stop()
+
+
+def test_dead_stage_propagates_eof_downstream():
+    """A stage dying on an exception must forward EOF (fail-open) so a
+    pipeline join()/wait_eof() unblocks instead of hanging forever; the
+    error stays visible through check_proc()."""
+    from sharkshark_tpu.runtime.service import BaseService, ServiceDeadException
+
+    class Exploding(BaseService):
+        def proc_job_recieved(self, job):
+            raise RuntimeError("boom")
+
+    class Sink(BaseService):
+        pass
+
+    up = Exploding(name="up")
+    down = Sink(name="down")
+    up.on_queue = lambda e: down.push_job(e)
+    up.start()
+    down.start()
+    up.push_job(object())
+    assert up.wait_eof(timeout=5), "dead stage never signalled EOF"
+    assert down.wait_eof(timeout=5), "EOF not propagated downstream"
+    import pytest as _pytest
+
+    with _pytest.raises(ServiceDeadException):
+        up.check_proc()
+    down.stop()

@@ -220,6 +220,11 @@ def test_chat_protocol_parsing():
     assert not ChatStream.logged_in_successful(
         ":tmi.twitch.tv NOTICE * :Error logging in"
     )
+    # Twitch's actual modern failure reply (the reference's `*`-quantified
+    # pattern cannot match it)
+    assert not ChatStream.logged_in_successful(
+        ":tmi.twitch.tv NOTICE * :Login authentication failed"
+    )
     msg = ChatStream.parse_message(
         ":alice!alice@alice.tmi.twitch.tv PRIVMSG #bob :hello world"
     )
@@ -228,9 +233,18 @@ def test_chat_protocol_parsing():
 
 
 def test_chat_ping_pong_and_join():
-    c = ChatStream("bob", "oauth:x")
+    class FakeSock:
+        def __init__(self):
+            self.sent = []
+
+        def send(self, data):
+            self.sent.append(data)
+
+    c = ChatStream("bob", "oauth:x", sock=FakeSock())
     c._handle_line("PING :tmi.twitch.tv")
-    assert c.buffer == ["PONG\n"]
+    # keepalive bypasses the 5 s flood-control buffer
+    assert c.sock.sent == [b"PONG :tmi.twitch.tv\r\n"]
+    assert c.buffer == []
     c._handle_line(":bob!bob@bob.tmi.twitch.tv JOIN #bob")
     assert c.current_channel == "bob"
 
