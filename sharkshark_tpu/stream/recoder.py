@@ -186,7 +186,7 @@ class Recoder(BaseService):
     def _handle_eof(self) -> bool:
         """Source EOF: returns True to continue (reconnected), False to
         exit after delivering the EOF sentinel downstream."""
-        if self.reconnects < self.max_reconnects:
+        if self.reconnects < self.max_reconnects and not self._stop_requested():
             self.reconnects += 1
             log.warning(
                 "stream EOF; reconnect %d/%d",
@@ -217,6 +217,11 @@ class Recoder(BaseService):
     def stop(self) -> None:
         if self._started:
             self.job_queue.put(object())
+            # unblock a grab() waiting out a source stall: terminate()
+            # sets the grabbers' _terminated flag (and kills the decoder
+            # process), so the capture loop observes the stop promptly
+            # instead of riding out the stall-tolerant wait
+            self.proc_cleanup()
             self.join()
 
     def _postprocess(self, frame: np.ndarray) -> np.ndarray:
