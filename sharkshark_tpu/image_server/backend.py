@@ -119,6 +119,9 @@ class ImageBackend:
         ImageFile.LOAD_TRUNCATED_IMAGES = True
         try:
             pil_img = Image.open(io.BytesIO(buffer))
+            # detect mono BEFORE converting (reference :200-246) — after
+            # convert('RGB') the array is always 3-D and the flag dead
+            is_mono = pil_img.mode in ("1", "L", "I", "F", "I;16")
             if pil_img.mode not in ("RGB", "RGBA"):
                 if pil_img.mode in ("LA",) or (
                     pil_img.mode == "P" and "transparency" in pil_img.info
@@ -129,7 +132,6 @@ class ImageBackend:
             img = np.asarray(pil_img)
         except Exception:
             return None, None, False
-        is_mono = False
         if img.ndim == 2:
             is_mono = True
             img = np.repeat(img[:, :, None], 3, axis=-1)
@@ -299,6 +301,16 @@ class ImageBackend:
                     start_response,
                     {"result": "err", "err": f"unknown return type {return_type}"},
                     "500 Internal Server Error",
+                )
+            if return_type == "url" and not backend.use_cache:
+                # without a cache there is no /upscale/file/<name> to
+                # point at — returning raw bytes to a client expecting
+                # {'url': ...} would silently break the contract
+                return json_response(
+                    start_response,
+                    {"result": "err",
+                     "err": "return_type=url requires --use-cache"},
+                    "400 Bad Request",
                 )
             profiler.start("endpoint.io.read")
             buffer = req.file("file")

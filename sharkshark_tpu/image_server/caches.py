@@ -221,15 +221,19 @@ class DiskImageCache(ImageCache):
     def write_file(self, filename: str, buffer: io.BytesIO) -> str:
         data = buffer.getvalue()
         path = self._get_path(filename)
-        try:
-            self.size -= os.path.getsize(path)  # overwriting: drop old size
-        except FileNotFoundError:
-            pass
-        with open(path, "wb") as f:
-            f.write(data)
+        # size accounting and the file write stay under the table write
+        # lock: concurrent handler threads interleaving the unlocked
+        # read-modify-writes would drift self.size permanently, breaking
+        # LRU eviction in either direction
         with self._table.write() as t:
+            try:
+                self.size -= os.path.getsize(path)  # overwriting: drop old
+            except FileNotFoundError:
+                pass
+            with open(path, "wb") as f:
+                f.write(data)
             t[filename] = time.time()
-        self.size += len(data)
+            self.size += len(data)
         self._evict_to(self.max_size)
         return self.url_for(filename)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import time
 
 from ..utils import get_logger
 from .caches import ImageCache, LocalLockRegistry, MemoryImageCache
@@ -88,6 +89,25 @@ class CacheFrontend:
 
             lock = fe.locks.file_lock(filename, timeout=120, blocking_timeout=10)
             acquired = bool(lock.acquire(blocking=True))
+            if not acquired:
+                # another request holds the single-flight lock past our
+                # blocking_timeout; wait for ITS result instead of
+                # proxying a duplicate multi-second upscale to the
+                # backend (the dedup the lock exists for)
+                deadline = time.time() + 110
+                while time.time() < deadline:
+                    if fe.cache.has_file(filename):
+                        return json_response(
+                            start_response,
+                            {"result": "ok", "cache": "hit",
+                             "url": f"/upscale/file/{filename}"},
+                        )
+                    time.sleep(0.25)
+                return json_response(
+                    start_response,
+                    {"result": "err", "err": "upscale lock timeout"},
+                    "504 Gateway Timeout",
+                )
             try:
                 # double-check: someone may have filled it while we waited
                 if fe.cache.has_file(filename):

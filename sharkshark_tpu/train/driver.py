@@ -186,11 +186,20 @@ def _make_dataset(opt: dict, split: str):
         if dopt.get("name") == "Folder":
             from .datasets import PairedFolderTrainDataset
 
+            crop = dopt.get("crop_size", 128)
+            if degradation == "BD":
+                # BD degradation crops 2*border px off the GT on device
+                # (prepare_data); enlarge the dataset crop to compensate,
+                # same as the unpaired-LMDB branch — otherwise the
+                # degraded GT shrinks below crop_size and a discriminator
+                # head sized to crop_size fails at its dense layer
+                sigma = opt["dataset"]["degradation"].get("sigma", 1.5)
+                crop += 2 * int(sigma * 3.0)
             return PairedFolderTrainDataset(
                 dopt["gt_seq_dir"],
                 dopt["lr_seq_dir"],
                 scale=opt["scale"],
-                crop_size=dopt.get("crop_size", 128),
+                crop_size=crop,
                 tempo_extent=opt["train"]["tempo_extent"],
             )
         if degradation == "BI":
@@ -299,6 +308,7 @@ def _build_training(opt: dict):
             update_policy=dtr.get("update_policy", "adaptive"),
             update_threshold=dtr.get("update_threshold", 0.4),
             gan_crit=opt["train"].get("gan_crit", {}).get("type", "GAN"),
+            feature_weight=opt["train"].get("feature_crit", {}).get("weight", 0.2),
         )
         fx = None
         vgg_path = opt["train"].get("feature_crit", {}).get("vgg_weights")
@@ -306,8 +316,14 @@ def _build_training(opt: dict):
             from .vgg import VGGFeatureExtractor
 
             fx = VGGFeatureExtractor(vgg_path)
-        state = create_gan_state(jax.random.PRNGKey(seed), cfg)
-        step_fn = jax.jit(make_gan_train_step(cfg, feature_extractor=fx))
+        sched_g = define_lr_schedule(gtr.get("lr_schedule"), cfg.lr_g)
+        sched_d = define_lr_schedule(dtr.get("lr_schedule"), cfg.lr_d)
+        state = create_gan_state(jax.random.PRNGKey(seed), cfg, sched_g, sched_d)
+        step_fn = jax.jit(
+            make_gan_train_step(
+                cfg, feature_extractor=fx, sched_g=sched_g, sched_d=sched_d
+            )
+        )
         return state, step_fn, lambda s: s.params_g
 
     cfg = VSRTrainConfig(

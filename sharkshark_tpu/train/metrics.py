@@ -193,8 +193,13 @@ class MetricCalculator:
                     )
                     per_metric[m].append(float(d[0]))
                 elif m == "tOF" and t > 0:
+                    # previous frames must carry the same crop — Farneback
+                    # needs equal-sized image pairs
                     per_metric[m].append(
-                        compute_tof(true_seq[t - 1], tru, pred_seq[t - 1], prd)
+                        compute_tof(
+                            true_seq[t - 1][:h, :w], tru,
+                            pred_seq[t - 1][:h, :w], prd,
+                        )
                     )
         avg = {m: float(np.mean(v)) for m, v in per_metric.items() if v}
         self.seq_results[seq_idx] = avg

@@ -60,15 +60,20 @@ class GANTrainState(NamedTuple):
     cnt_upd_d: jnp.ndarray
 
 
-def create_gan_state(key: jax.Array, cfg: VSRGANConfig = VSRGANConfig()) -> GANTrainState:
+def create_gan_state(
+    key: jax.Array, cfg: VSRGANConfig = VSRGANConfig(),
+    sched_g=None, sched_d=None,
+) -> GANTrainState:
+    """sched_g/sched_d: optional optax learning-rate schedules (the yaml
+    lr_schedule); fixed cfg.lr_* otherwise."""
     kg, kd = jax.random.split(key)
     params_g = egvsr.init_params(kg, cfg.model_cfg)
     if cfg.disc_type == "spatial":
         params_d = D.init_spatial(kd, cfg.disc_cfg)
     else:
         params_d = D.init_spatio_temporal(kd, cfg.disc_cfg)
-    tx_g = optax.adam(cfg.lr_g, b1=cfg.beta1, b2=cfg.beta2)
-    tx_d = optax.adam(cfg.lr_d, b1=cfg.beta1, b2=cfg.beta2)
+    tx_g = optax.adam(sched_g or cfg.lr_g, b1=cfg.beta1, b2=cfg.beta2)
+    tx_d = optax.adam(sched_d or cfg.lr_d, b1=cfg.beta1, b2=cfg.beta2)
     return GANTrainState(
         params_g, params_d, tx_g.init(params_g), tx_d.init(params_d),
         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -78,6 +83,8 @@ def create_gan_state(key: jax.Array, cfg: VSRGANConfig = VSRGANConfig()) -> GANT
 def make_gan_train_step(
     cfg: VSRGANConfig = VSRGANConfig(),
     feature_extractor: Callable | None = None,
+    sched_g=None,
+    sched_d=None,
 ):
     """Returns train_step(state, lr_data (N,T,h,w,C), gt_data (N,T,H,W,C))
     -> (state, logs). `feature_extractor(x)` -> list of feature maps for

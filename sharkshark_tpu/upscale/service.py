@@ -451,6 +451,13 @@ class EsrganUpscalerService(BaseUpscalerService):
                 self._params, self._den_state, jnp.asarray(frames)
             )
             self._frames_seen += len(frames)
+            # Emission semantics at partial batches: output slot j blends
+            # input j's SR with the SHIFT_NUM-delayed denoised content
+            # (reference parity — upscale_single_denoise 'Temporal
+            # note'), so _fetch's [:n] slice emits exactly the n real
+            # input slots; pad slots are dropped and their (delayed)
+            # denoise content skips a slot. Slot counts are preserved
+            # (N real inputs -> N live emissions + SHIFT_NUM drained).
             # remember the fed frames (pads included — they advance the
             # BSVD timeline) so proc_eof can drain and post-process the
             # in-flight tail; pads are flagged and dropped at emission
@@ -499,6 +506,13 @@ class EgvsrUpscalerService(BaseUpscalerService):
         self.cut_threshold = cut_threshold
 
     def proc_init(self) -> None:
+        # idempotent (same guard as EsrganUpscalerService): callers
+        # pre-warm with proc_init() on the main thread before start(),
+        # and a re-run on the worker thread would reset the recurrence
+        # state and rebuild the ShapeCache lambdas — new jit identities
+        # recompiling the 720p step in-run
+        if getattr(self, "_initialized", False):
+            return
         enable_persistent_cache()
         if self.weights is not None:
             sd = torch_import.load_state_dict(self.weights)
@@ -547,6 +561,7 @@ class EgvsrUpscalerService(BaseUpscalerService):
                 p, s, f, spec, cut_threshold=self.cut_threshold, cfg=self.cfg
             )
         )
+        self._initialized = True
 
     def upscale_dispatch(self, frames):
         frames = np.asarray(frames)

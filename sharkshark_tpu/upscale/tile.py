@@ -41,17 +41,24 @@ def tile_upscale(
     padding at image borders), matching RealESRGANer's halo semantics.
     """
     n, h, w, c = img.shape
+    # an image smaller than one tile needs no tiling at all — and its
+    # reflect pad (tile-round remainder + halo) could exceed the image
+    # size, which jnp.pad(mode='reflect') rejects
+    if h <= tile and w <= tile:
+        return sr_apply(sr_params, img)
     hp, wp = _ceil_to(h, tile), _ceil_to(w, tile)
     ty, tx = hp // tile, wp // tile
     if ty == 1 and tx == 1 and tile_pad == 0:
         return sr_apply(sr_params, img)
 
     pad = tile_pad
-    x = jnp.pad(
-        img,
-        ((0, 0), (pad, hp - h + pad), (pad, wp - w + pad), (0, 0)),
-        mode="reflect",
-    )
+    pad_cfg = ((0, 0), (pad, hp - h + pad), (pad, wp - w + pad), (0, 0))
+    if max(pad, hp - h + pad) >= h or max(pad, wp - w + pad) >= w:
+        # reflect pad must be < the dim size; fall back to edge padding
+        # for the (rare) dims between tile/2 and tile
+        x = jnp.pad(img, pad_cfg, mode="edge")
+    else:
+        x = jnp.pad(img, pad_cfg, mode="reflect")
 
     t_in = tile + 2 * pad
     rows = [

@@ -347,3 +347,31 @@ def test_bucket_padding_respects_max_pixels(backend_server, monkeypatch):
     finally:
         backend._upscaler.push_job = orig
     assert seen and all(s[1] * s[2] <= 64 * 96 for s in seen), seen
+
+
+def test_url_return_without_cache_is_rejected():
+    """return_type=url with use_cache=False must 400 (the URL contract
+    needs the file cache behind it), not return raw image bytes."""
+    backend = ImageBackend(upscaler_factory=_tiny_upscaler, use_cache=False)
+    httpd = serve_background(backend.app, port=0)
+    try:
+        port = httpd.server_address[1]
+        r = httpx.post(
+            f"http://127.0.0.1:{port}/upscale/image",
+            params={"return_type": "url"},
+            files={"file": ("t.png", _png_bytes())},
+            timeout=30,
+        )
+        assert r.status_code == 400, r.status_code
+        assert "use-cache" in r.json()["err"]
+    finally:
+        httpd.shutdown()
+
+
+def test_mono_detection_survives_rgb_convert():
+    """Grayscale uploads must set is_mono (the flag was dead after the
+    unconditional convert('RGB'))."""
+    rgb, alpha, mono = ImageBackend._decode(_png_bytes(mode="L"))
+    assert mono and rgb.ndim == 3 and rgb.shape[-1] == 3
+    rgb2, _, mono2 = ImageBackend._decode(_png_bytes(mode="RGB"))
+    assert not mono2
