@@ -266,7 +266,7 @@ def _zeros_mem(n, h, w, c, dtype):
     }
 
 
-def _init_denblock_state(n, h, w, in_ch, cfg: BSVDConfig, dtype) -> dict:
+def _init_denblock_state(n, h, w, cfg: BSVDConfig, dtype) -> dict:
     c0, c1, c2 = cfg.chns
     h2, w2, h4, w4 = h // 2, w // 2, h // 4, w // 4
     return {
@@ -287,8 +287,8 @@ def init_stream_state(
     multiples of 4 (two stride-2 stages)."""
     return {
         "t": jnp.zeros((), jnp.int32),
-        "temp1": _init_denblock_state(n, h, w, cfg.in_ch, cfg, dtype),
-        "temp2": _init_denblock_state(n, h, w, cfg.mid_ch, cfg, dtype),
+        "temp1": _init_denblock_state(n, h, w, cfg, dtype),
+        "temp2": _init_denblock_state(n, h, w, cfg, dtype),
     }
 
 
@@ -406,7 +406,10 @@ def _shift_conv_chunk_fused(p: dict, st: dict, x: jnp.ndarray, act: str):
 
     t = x.shape[0]
     fold = x.shape[-1] // 8
-    y = tsm_conv(x[:, 0], st["center"][0], st["left"][0], p["w"], p["b"], act=act)
+    b = p.get("b")
+    if b is None:
+        b = jnp.zeros((p["w"].shape[-1],), x.dtype)
+    y = tsm_conv(x[:, 0], st["center"][0], st["left"][0], p["w"], b, act=act)
     new_center = x[-1]
     new_left = (
         x[-2, ..., fold : 2 * fold] if t >= 2 else st["center"][..., fold : 2 * fold]
@@ -425,7 +428,10 @@ def _pair_chunk_fused(p, st, x, act):
         x[:, 0],
         st["c1"]["center"][0], st["c1"]["left"][0],
         st["c2"]["center"][0], st["c2"]["left"][0],
-        p["c1"]["w"], p["c1"]["b"], p["c2"]["w"], p["c2"]["b"],
+        p["c1"]["w"],
+        p["c1"].get("b", jnp.zeros((p["c1"]["w"].shape[-1],), x.dtype)),
+        p["c2"]["w"],
+        p["c2"].get("b", jnp.zeros((p["c2"]["w"].shape[-1],), x.dtype)),
         act=act,
     )
     new_c1 = {

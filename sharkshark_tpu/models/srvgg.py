@@ -103,12 +103,14 @@ def _body_folded(params: dict, x: jnp.ndarray, cfg: SRVGGConfig) -> jnp.ndarray:
 
     y = fold_lanes(x, 2)
     for conv_p, act_p in zip(params["convs"], params["acts"]):
-        y = conv3x3_folded(y, conv_p["w"], conv_p["b"], 2)
+        y = conv3x3_folded(y, conv_p["w"], conv_p.get("b"), 2)
         if cfg.act_type == "prelu":
             y = prelu(y, jnp.tile(act_p["alpha"], 2))
         else:
             y = _act(y, act_p, cfg.act_type)
-    return unfold_lanes(conv3x3_folded(y, params["tail"]["w"], params["tail"]["b"], 2), 2)
+    return unfold_lanes(
+        conv3x3_folded(y, params["tail"]["w"], params["tail"].get("b"), 2), 2
+    )
 
 
 def apply_down(params: dict, x: jnp.ndarray, d: int, *, cfg: SRVGGConfig = GENERAL_X4V3) -> jnp.ndarray:
@@ -120,6 +122,9 @@ def apply_down(params: dict, x: jnp.ndarray, d: int, *, cfg: SRVGGConfig = GENER
     from ..ops import fused_epilogue as fe
 
     assert cfg.upscale == 4 and d in (2, 3, 4), (cfg, d)
+    # the fused-residual algebra below assumes the nearest-up residual of
+    # x adds channel-for-channel (apply()'s num_in_ch == num_out_ch path)
+    assert cfg.num_in_ch == cfg.num_out_ch, cfg
     y = _body(params, x, cfg)
     ps = {2: fe.ps4_bicubic_down2, 3: fe.ps4_bicubic_down3, 4: fe.ps4_bicubic_down4}[d]
     base_fn = {2: fe.nearest4_bicubic_down2, 3: fe.nearest4_bicubic_down3,
@@ -143,7 +148,7 @@ def apply_down_rational(
     7/4, etc. (ops/fused_epilogue.py)."""
     from ..ops import fused_epilogue as fe
 
-    assert cfg.upscale == 4, cfg
+    assert cfg.upscale == 4 and cfg.num_in_ch == cfg.num_out_ch, cfg
     y = _body(params, x, cfg)
     out = fe.ps4_bicubic_down_rational(y, num, den)
     base = fe.nearest4_bicubic_down_rational(x, num, den)

@@ -65,12 +65,20 @@ ZOO: dict[str, ZooEntry] = {
 }
 
 
-def fetch_weights(name: str, weight_dir: str = WEIGHT_DIR) -> list[str]:
+def fetch_weights(
+    name: str, weight_dir: str = WEIGHT_DIR, need_partner: bool = True
+) -> list[str]:
     """Resolve (and download if possible) the .pth files for a zoo entry.
-    Returns local paths; raises with the URLs when offline and absent."""
+    Returns local paths; raises with the URLs when offline and absent.
+    need_partner=False skips the DNI partner checkpoint (listed first in
+    the urls tuple) — denoise_strength >= 1 never reads it, and failing
+    offline on an unused ~65 MB download would be gratuitous."""
     entry = ZOO[name]
+    urls = entry.urls
+    if not need_partner and entry.dni_partner and len(urls) > 1:
+        urls = urls[-1:]
     paths = []
-    for url in entry.urls:
+    for url in urls:
         fname = os.path.basename(url)
         path = os.path.join(weight_dir, fname)
         if not os.path.isfile(path):
@@ -113,7 +121,9 @@ def build_sr_model(
         if model_path is not None:
             paths = [model_path]
         else:
-            paths = fetch_weights(name, weight_dir)
+            paths = fetch_weights(
+                name, weight_dir, need_partner=denoise_strength < 1.0
+            )
         # load_state_dict already unwraps params/params_ema containers
         sd = torch_import.load_state_dict(paths[-1])
         if entry.dni_partner and denoise_strength < 1.0 and len(paths) > 1:

@@ -36,6 +36,9 @@ def make_sharded_upscale(
     """jit-compiled `fn(params, frames_u8) -> out_u8` with frames sharded
     (batch over "data", W over "spatial") and params replicated.  Batch
     must divide by mesh.shape['data'] (see mesh.pad_batch)."""
+    # the rank-4 batch sharding below does not map the rank-3 planar
+    # yuv420p output (same guard as the sibling factories)
+    assert spec.pix_fmt == "rgb24", "sharded upscale supports rgb24 only"
     fs = batch_sharding(mesh)
     ps = replicated(mesh)
 
@@ -119,6 +122,8 @@ def make_sharded_denoise(
 def make_sharded_egvsr_step(
     spec: UpscaleSpec,
     mesh: Mesh,
+    cfg=None,
+    cut_threshold: float | None = None,
 ) -> Callable:
     """Sharded frame-recurrent EGVSR step: `fn(params, state, frame_u8) ->
     (out_u8, new_state)`, W split across all devices (the single-frame
@@ -128,6 +133,9 @@ def make_sharded_egvsr_step(
     gather itself; the banded Pallas kernel stays a single-device code
     path."""
     assert spec.pix_fmt == "rgb24", "sharded EGVSR supports rgb24 only"
+    from ..models import egvsr as _egvsr
+
+    cfg = cfg or _egvsr.DEFAULT
     ws = width_sharding(mesh)
     rep = replicated(mesh)
     compiled = {}
@@ -137,7 +145,9 @@ def make_sharded_egvsr_step(
         if key not in compiled:
             st_specs = jax.tree_util.tree_map(ws, state)
             compiled[key] = jax.jit(
-                lambda p, s, f: _sharded_egvsr_body(p, s, f, spec),
+                lambda p, s, f: _sharded_egvsr_body(
+                    p, s, f, spec, cfg, cut_threshold
+                ),
                 in_shardings=(rep, st_specs, ws(frame)),
                 out_shardings=(ws(frame), st_specs),
             )
@@ -146,7 +156,8 @@ def make_sharded_egvsr_step(
     return call
 
 
-def _sharded_egvsr_body(params, state, frame, spec: UpscaleSpec):
+def _sharded_egvsr_body(params, state, frame, spec: UpscaleSpec, cfg,
+                        cut_threshold):
     from ..models import egvsr as _egvsr
     from ..ops import resize, to_float, to_uint8
     import jax.numpy as jnp
@@ -156,8 +167,11 @@ def _sharded_egvsr_body(params, state, frame, spec: UpscaleSpec):
     lr = img
     if spec.lr_hr_resize and (h > spec.lr_shape[0] or w > spec.lr_shape[1]):
         lr = resize(img, spec.lr_shape, "area")
+    # cfg must be the checkpoint's (a BD-trained production net needs the
+    # TecoGAN bicubic flow upsample, not the class-default bilinear)
     hr, new_state = _egvsr.infer_step(
-        params, state, lr.astype(spec.compute_dtype), fast_warp=False
+        params, state, lr.astype(spec.compute_dtype), cfg=cfg,
+        fast_warp=False, cut_threshold=cut_threshold,
     )
     hr = jnp.clip(hr.astype(jnp.float32), 0.0, 1.0)
     if spec.output_shape is not None and hr.shape[-3:-1] != tuple(spec.output_shape):
