@@ -165,8 +165,31 @@ int pump_eof(Pump* p) { return p->eof.load() ? 1 : 0; }
 uint64_t pump_frames_read(Pump* p) { return p->frames_read.load(); }
 uint64_t pump_frames_dropped(Pump* p) { return p->frames_dropped.load(); }
 
+// Non-destructive cross-thread stop: raise the stop/eof flags and wake
+// every waiter (a grab() blocked in pump_grab, the reader blocked on
+// not_full) WITHOUT freeing the Pump. Another thread may still be inside
+// pump_grab on this Pump — pump_destroy here would delete the mutex/
+// condvar it is waiting on (use-after-free). The thread that owns grab()
+// calls pump_destroy() afterwards to join the reader and free.
+// The flag stores happen under the ring mutex so a waiter cannot
+// evaluate its predicate between our store and notify and then sleep
+// through the wakeup. Buffered frames stay drainable (grab keeps
+// returning them until the ring is empty, then reports EOF).
+void pump_shutdown(Pump* p) {
+    {
+        std::lock_guard<std::mutex> lk(p->ring.mu);
+        p->stop.store(true);
+        p->eof.store(true);
+    }
+    p->ring.not_full.notify_all();
+    p->ring.not_empty.notify_all();
+}
+
 void pump_destroy(Pump* p) {
-    p->stop.store(true);
+    {
+        std::lock_guard<std::mutex> lk(p->ring.mu);
+        p->stop.store(true);
+    }
     p->ring.not_full.notify_all();
     p->ring.not_empty.notify_all();
     // unblock a reader stuck in read(): close our end

@@ -238,12 +238,15 @@ def pairfold_conv_weights(w: jnp.ndarray, ci_pad: int = 32) -> jnp.ndarray:
     """(3, 3, Ci, Co) -> (3, 3, 2*ci_pad, 2*ci_pad_out) block weights for
     conv2d_pairfold: two adjacent W pixels become one doubled-channel
     pixel, and the 3x3 conv becomes a 3x3 conv over pair-pixels whose
+    kernel-width taps are pair shifts z with block (u, v) = w[:, d+1]
+    where d = 2z + u - v (zero outside |d| <= 1).
+
     NOTE: ops/lanefold.py generalizes this scatter to arbitrary fold
     factors (plus stride-2/ps2 forms) — the two weight-fold loops encode
     the same |d| <= 1 band and must stay consistent; this ci_pad variant
     additionally zero-pads narrow channel counts to a 32-lane block.
-    kernel-width taps are pair shifts z with block (u, v) = w[:, d+1]
-    where d = 2z + u - v (zero outside |d| <= 1).  MAC count doubles but
+
+    MAC count doubles but
     the conv runs at 2x the channel width — measured net ~1.8x on the
     dev chip for C=32 at 720p (BASELINE.md: C=32 runs at 13 TFLOP/s vs
     C=64 at 46.6)."""

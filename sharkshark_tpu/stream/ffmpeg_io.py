@@ -212,17 +212,18 @@ class RawFrameSource:
         would tear the pipeline down mid-broadcast).  `timeout` bounds
         only the residual wait once the process has exited or
         terminate() was called."""
-        if self._pump is not None:
-            if not self.blocking and self._pump.depth == 0:
+        pump = self._pump  # snapshot: close() nulls the attribute
+        if pump is not None:
+            if not self.blocking and pump.depth == 0:
                 return None
             while True:
-                out = self._pump.grab(1.0)
+                out = pump.grab(1.0)
                 if out is not None:
                     return out
-                if self._terminated or self._pump.eof:
+                if self._terminated or pump.eof:
                     return None
                 if self._proc is not None and self._proc.poll() is not None:
-                    return self._pump.grab(timeout or 30)  # drain grace
+                    return pump.grab(timeout or 30)  # drain grace
         if not self.blocking and self._fifo.empty():
             return None
         while True:
@@ -249,6 +250,10 @@ class RawFrameSource:
         return self._fifo.qsize() if self._fifo else 0
 
     def terminate(self) -> None:
+        """Stop the source. Safe from ANY thread: the native pump is only
+        shut down here (stop flags + wakeups) — the grabbing thread may
+        still be blocked inside pump_grab, and destroying the ring under
+        it would be a use-after-free. close() frees the native pump."""
         self._terminated = True
         if self._proc is not None and self._proc.poll() is None:
             self._proc.terminate()
@@ -257,9 +262,17 @@ class RawFrameSource:
             except subprocess.TimeoutExpired:
                 self._proc.kill()
         if self._pump is not None:
+            self._pump.shutdown()
+
+    def close(self) -> None:
+        """Terminate AND free the native pump. Must run on the grabbing
+        thread (or after it has exited): pump_destroy deletes the ring a
+        concurrent grab() could still be waiting on."""
+        self.terminate()
+        pump, self._pump = self._pump, None
+        if pump is not None:
             # subprocess is dead -> reader sees EOF -> join is safe
-            self._pump.terminate()
-            self._pump = None
+            pump.terminate()
 
 
 class RawStreamSink:

@@ -58,6 +58,7 @@ def load_library():
         lib.pump_frames_read.argtypes = [ctypes.c_void_p]
         lib.pump_frames_dropped.restype = ctypes.c_uint64
         lib.pump_frames_dropped.argtypes = [ctypes.c_void_p]
+        lib.pump_shutdown.argtypes = [ctypes.c_void_p]
         lib.pump_destroy.argtypes = [ctypes.c_void_p]
 
         lib.sink_create.restype = ctypes.c_void_p
@@ -124,7 +125,19 @@ class NativePump:
             "dropped": self.lib.pump_frames_dropped(self._p),
         }
 
+    def shutdown(self) -> None:
+        """Cross-thread-safe stop: raises the native stop/eof flags and
+        wakes any blocked grab(), WITHOUT freeing the Pump — another
+        thread may still be inside pump_grab (ctypes releases the GIL),
+        and pump_destroy would delete the ring mutex under it. Call
+        terminate() afterwards from the grabbing thread to free."""
+        if self._p:
+            self.lib.pump_shutdown(self._p)
+
     def terminate(self) -> None:
+        """Join the reader and free the native Pump. Must only run when
+        no other thread can be inside grab() (the grabbing thread
+        itself, or after it has exited) — use shutdown() cross-thread."""
         if self._p:
             self._final_stats = self.stats
             self.lib.pump_destroy(self._p)

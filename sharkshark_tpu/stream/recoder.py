@@ -182,6 +182,7 @@ class Recoder(BaseService):
         finally:
             self._dead = self._error is not None
             self.proc_cleanup()
+            self._dispose_grabbers()
 
     def _handle_eof(self) -> bool:
         """Source EOF: returns True to continue (reconnected), False to
@@ -194,6 +195,7 @@ class Recoder(BaseService):
                 self.max_reconnects,
             )
             self.proc_cleanup()
+            self._dispose_grabbers()
             self._image_grabber = None
             self._audio_grabber = None
             try:
@@ -241,9 +243,26 @@ class Recoder(BaseService):
         return frame
 
     def proc_cleanup(self) -> None:
+        """Stop the grabbers. Cross-thread safe: terminate() only shuts
+        the native pump down (stop flags + wakeups) — it does not free
+        the ring the run thread's grab() may still be blocked on. The
+        run thread frees it via _dispose_grabbers() on its own way out."""
         for g in (self._image_grabber, self._audio_grabber):
             if g is not None:
                 try:
                     g.terminate()
+                except Exception:  # pragma: no cover
+                    pass
+
+    def _dispose_grabbers(self) -> None:
+        """Free grabber native resources (pump ring + reader thread).
+        RUN-THREAD ONLY: close() destroys the ring a concurrent grab()
+        could be waiting on; the control thread's stop() path must go
+        through proc_cleanup() instead."""
+        for g in (self._image_grabber, self._audio_grabber):
+            close = getattr(g, "close", None)
+            if close is not None:
+                try:
+                    close()
                 except Exception:  # pragma: no cover
                     pass

@@ -41,9 +41,17 @@ def tile_upscale(
     padding at image borders), matching RealESRGANer's halo semantics.
     """
     n, h, w, c = img.shape
-    # an image smaller than one tile needs no tiling at all — and its
-    # reflect pad (tile-round remainder + halo) could exceed the image
-    # size, which jnp.pad(mode='reflect') rejects
+    # An image that fits in one tile needs no tiling. This IS the
+    # reference behavior, not a shortcut deviation: RealESRGANer's
+    # tile_process clamps every halo inside the image
+    # (input_start_x_pad = max(x - pad, 0), input_end_x_pad =
+    # min(x + pad, w)), so a single tile covering the whole image sees
+    # exactly the unpadded image. It also sidesteps the reflect pad
+    # (tile-round remainder + halo) exceeding the image size, which
+    # jnp.pad(mode='reflect') rejects. Where we DO deviate (documented
+    # in docs/PARITY.md): multi-tile inputs get reflect/edge context at
+    # image borders instead of RealESRGANer's clamped (truncated) halos
+    # — strictly more context, same stitched interior.
     if h <= tile and w <= tile:
         return sr_apply(sr_params, img)
     hp, wp = _ceil_to(h, tile), _ceil_to(w, tile)

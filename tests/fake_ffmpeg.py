@@ -59,6 +59,11 @@ def main():
                     time.sleep(delay)
             out.write(bytes([i % 256]) * (w * h * 3))
         out.flush()
+        # FAKE_FFMPEG_STALL > 0: keep the pipe open without emitting —
+        # models a CDN/ad-break stall (EOF only when killed)
+        stall = float(os.environ.get("FAKE_FFMPEG_STALL", "0"))
+        if stall > 0:
+            time.sleep(stall)
         return
 
     if "-acodec" in args and args["-acodec"].startswith("pcm_") and pos and pos[-1] == "-":
