@@ -49,7 +49,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "bytes, no host swscale stage)")
     p.add_argument("--reconnects", type=int, default=0,
                    help="rebuild the stream source up to N times on EOF")
+    p.add_argument("--mesh", default=None, metavar="DATA,SPATIAL",
+                   help="multi-chip device mesh, e.g. '2,2' = batch over "
+                        "2 chips x width over 2 (SR path), or '1,2' = "
+                        "width over 2 (also what the temporally-coupled "
+                        "denoise/EGVSR paths use). Requires "
+                        "data*spatial visible devices; the reference's "
+                        "2-GPU 1080p60 mode maps here")
     return p
+
+
+def parse_mesh(arg: str):
+    """'D,S' (or a bare device count, all-data) -> jax.sharding.Mesh."""
+    from ..parallel import make_mesh
+
+    parts = [int(v) for v in str(arg).split(",")]
+    if len(parts) == 1:
+        data, spatial = parts[0], 1
+    elif len(parts) == 2:
+        data, spatial = parts
+    else:
+        raise ValueError(f"--mesh wants 'DATA,SPATIAL', got {arg!r}")
+    return make_mesh(data * spatial, data=data, spatial=spatial)
 
 
 def main(argv=None) -> None:
@@ -63,6 +84,8 @@ def main(argv=None) -> None:
             f"--model {args.model!r} unknown; choose from {sorted(known)}"
         )
 
+    mesh = parse_mesh(args.mesh) if args.mesh else None
+
     kwargs = {}
     if args.model == "egvsr":
         from ..upscale.levels import HR_LEVELS
@@ -73,6 +96,7 @@ def main(argv=None) -> None:
             output_shape=HR_LEVELS[args.hr_level],
             weights=args.weights,
             pix_fmt=args.pix_fmt,
+            mesh=mesh,
         )
     else:
         kwargs.update(
@@ -80,6 +104,7 @@ def main(argv=None) -> None:
             weights=args.weights,
             weights_wdn=args.weights_wdn,
             denoise_weights=args.denoise_weights,
+            mesh=mesh,
         )
 
     if args.reconnects:

@@ -10,6 +10,7 @@ from .sharded import (
     make_sharded_upscale,
     make_sharded_train_step,
     make_sharded_denoise,
+    make_sharded_denoise_flush,
     make_sharded_egvsr_step,
     width_sharding,
 )
@@ -17,5 +18,6 @@ from .sharded import (
 __all__ = [
     "make_mesh", "replicated", "batch_sharding", "spatial_sharding",
     "pad_batch", "P", "make_sharded_upscale", "make_sharded_train_step",
-    "make_sharded_denoise", "make_sharded_egvsr_step", "width_sharding",
+    "make_sharded_denoise", "make_sharded_denoise_flush",
+    "make_sharded_egvsr_step", "width_sharding",
 ]

@@ -23,9 +23,35 @@ __all__ = [
     "make_sharded_upscale",
     "make_sharded_train_step",
     "make_sharded_denoise",
+    "make_sharded_denoise_flush",
     "make_sharded_egvsr_step",
     "width_sharding",
 ]
+
+
+def _emitted_sharding(mesh: Mesh, spec: UpscaleSpec, *, batch: bool):
+    """Sharding for the step's EMITTED uint8 frames.
+
+    rgb24 output is rank-4 NHWC (W at axis 2); planar yuv420p
+    (ops.color.to_yuv420) is rank-3 (N, H*3//2, W) with W as the LAST
+    axis — the same data/width split applies, on a different axis index.
+    `batch=True` is the micro-batch factories' (data-axis) layout;
+    `batch=False` is the single-stream width-over-everything layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    w_axes = axes if len(axes) > 1 else axes[0]
+    if spec.pix_fmt == "yuv420p":
+        specs = (
+            P("data", None, "spatial") if batch else P(None, None, w_axes)
+        )
+    else:
+        specs = (
+            P("data", None, "spatial", None)
+            if batch
+            else P(None, None, w_axes, None)
+        )
+    return NamedSharding(mesh, specs)
 
 
 def make_sharded_upscale(
@@ -35,17 +61,16 @@ def make_sharded_upscale(
 ) -> Callable[[Any, jax.Array], jax.Array]:
     """jit-compiled `fn(params, frames_u8) -> out_u8` with frames sharded
     (batch over "data", W over "spatial") and params replicated.  Batch
-    must divide by mesh.shape['data'] (see mesh.pad_batch)."""
-    # the rank-4 batch sharding below does not map the rank-3 planar
-    # yuv420p output (same guard as the sibling factories)
-    assert spec.pix_fmt == "rgb24", "sharded upscale supports rgb24 only"
+    must divide by mesh.shape['data'] (see mesh.pad_batch).  yuv420p
+    output emits with W (the planar last axis) on "spatial"."""
     fs = batch_sharding(mesh)
     ps = replicated(mesh)
+    out = _emitted_sharding(mesh, spec, batch=True)
 
     def fn(params, frames):
         return upscale_multi(sr_apply, params, frames, spec)
 
-    return jax.jit(fn, in_shardings=(ps, fs), out_shardings=fs)
+    return jax.jit(fn, in_shardings=(ps, fs), out_shardings=out)
 
 
 def width_sharding(mesh: Mesh):
@@ -76,6 +101,7 @@ def make_sharded_denoise(
     mesh: Mesh,
     cfg=None,
     warm: bool = False,
+    sr_sub_batch: int | None = None,
 ) -> Callable:
     """Sharded denoise micro-batch step: `fn(params, state, frames_u8) ->
     (out_u8, new_state)` with every image-like tensor split on W across
@@ -91,16 +117,14 @@ def make_sharded_denoise(
     from ..upscale.steps import upscale_batch_denoise
 
     cfg = cfg or _bsvd.BSVD_32
-    # the output-sharding spec below is derived from the rank-4 rgb24
-    # output; a planar yuv420p output is rank-3 and would need its own
-    # axis mapping (ADVICE r2)
-    assert spec.pix_fmt == "rgb24", "sharded denoise supports rgb24 only"
     ws = width_sharding(mesh)
     rep = replicated(mesh)
+    out_fs = _emitted_sharding(mesh, spec, batch=False)
 
     def fn(params, state, frames):
         return upscale_batch_denoise(
-            sr_apply, params, state, frames, spec, cfg, warm=warm
+            sr_apply, params, state, frames, spec, cfg, warm=warm,
+            sr_sub_batch=sr_sub_batch,
         )
 
     compiled = {}
@@ -112,9 +136,45 @@ def make_sharded_denoise(
             compiled[key] = jax.jit(
                 fn,
                 in_shardings=(rep, st_specs, ws(frames)),
-                out_shardings=(ws(frames), st_specs),
+                out_shardings=(out_fs, st_specs),
             )
         return compiled[key](params, state, frames)
+
+    return call
+
+
+def make_sharded_denoise_flush(
+    sr_apply: Callable[[Any, jax.Array], jax.Array],
+    spec: UpscaleSpec,
+    mesh: Mesh,
+    cfg=None,
+) -> Callable:
+    """Sharded EOF flush of the BSVD lookahead: `fn(params, state,
+    lr_tail_u8, t_end) -> (out_u8, new_state)` with the same width
+    shardings as make_sharded_denoise, so a mesh-backed live service can
+    drain its (sharded, device-resident) state at end-of-stream without
+    falling back to a single-device executable."""
+    from ..models import bsvd as _bsvd
+    from ..upscale.steps import flush_batch_denoise
+
+    cfg = cfg or _bsvd.BSVD_32
+    ws = width_sharding(mesh)
+    rep = replicated(mesh)
+    out_fs = _emitted_sharding(mesh, spec, batch=False)
+    compiled = {}
+
+    def call(params, state, lr_tail, t_end):
+        key = lr_tail.shape
+        if key not in compiled:
+            st_specs = jax.tree_util.tree_map(ws, state)
+            compiled[key] = jax.jit(
+                lambda p, s, f, te: flush_batch_denoise(
+                    sr_apply, p, s, f, te, spec, cfg
+                ),
+                in_shardings=(rep, st_specs, ws(lr_tail), rep),
+                out_shardings=(out_fs, st_specs),
+            )
+        return compiled[key](params, state, lr_tail, t_end)
 
     return call
 
@@ -132,12 +192,12 @@ def make_sharded_egvsr_step(
     Uses the exact gather warp (fast_warp=False): XLA partitions the
     gather itself; the banded Pallas kernel stays a single-device code
     path."""
-    assert spec.pix_fmt == "rgb24", "sharded EGVSR supports rgb24 only"
     from ..models import egvsr as _egvsr
 
     cfg = cfg or _egvsr.DEFAULT
     ws = width_sharding(mesh)
     rep = replicated(mesh)
+    out_fs = _emitted_sharding(mesh, spec, batch=False)
     compiled = {}
 
     def call(params, state, frame):
@@ -149,7 +209,7 @@ def make_sharded_egvsr_step(
                     p, s, f, spec, cfg, cut_threshold
                 ),
                 in_shardings=(rep, st_specs, ws(frame)),
-                out_shardings=(ws(frame), st_specs),
+                out_shardings=(out_fs, st_specs),
             )
         return compiled[key](params, state, frame)
 
@@ -159,7 +219,8 @@ def make_sharded_egvsr_step(
 def _sharded_egvsr_body(params, state, frame, spec: UpscaleSpec, cfg,
                         cut_threshold):
     from ..models import egvsr as _egvsr
-    from ..ops import resize, to_float, to_uint8
+    from ..ops import resize, to_float
+    from ..upscale.steps import _emit
     import jax.numpy as jnp
 
     img = to_float(frame)
@@ -176,7 +237,7 @@ def _sharded_egvsr_body(params, state, frame, spec: UpscaleSpec, cfg,
     hr = jnp.clip(hr.astype(jnp.float32), 0.0, 1.0)
     if spec.output_shape is not None and hr.shape[-3:-1] != tuple(spec.output_shape):
         hr = resize(hr, spec.output_shape, "bicubic")
-    return to_uint8(hr), new_state
+    return _emit(hr, spec), new_state
 
 
 def make_sharded_train_step(train_step: Callable, mesh: Mesh) -> Callable:

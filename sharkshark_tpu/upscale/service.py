@@ -206,9 +206,17 @@ class EsrganUpscalerService(BaseUpscalerService):
         fast_epilogue: bool = True,
         device: int | None = None,
         pix_fmt: str = "rgb24",
+        mesh=None,
     ) -> None:
         super().__init__(name="EsrganUpscaler")
         self.pix_fmt = pix_fmt
+        # multi-chip product path (VERDICT r3 item 4): a jax.sharding.Mesh
+        # (parallel.make_mesh) routes every device step through the
+        # sharded factories — batch over "data" + W over "spatial" for the
+        # SR path, W over all axes for the temporally-coupled denoise
+        # chunk. Mutually exclusive with single-chip `device=` pinning.
+        assert mesh is None or device is None, "mesh and device are exclusive"
+        self.mesh = mesh
         self.lr_shape = LR_LEVELS[lr_level]
         self.scale = 4
         self.output_shape = output_shape
@@ -354,35 +362,75 @@ class EsrganUpscalerService(BaseUpscalerService):
             # larger batches split the SR tail into sub-batches of 4 —
             # exact, measured 76.8 -> 69.5 ms/frame at T=8 (BASELINE.md)
             sr_sub = 4 if self.batch_size > 4 else None
-            self._batch_denoise_step = ShapeCache(
-                lambda p, s, f: upscale_batch_denoise(
-                    sr_apply, p, s, f, spec, self.bsvd_cfg, sr_sub_batch=sr_sub
+            if self.mesh is not None:
+                # W-sharded denoise chunk over the mesh (the BSVD chunk
+                # axis is temporal, so width is the scalable dim); state
+                # enters/leaves sharded and stays device-resident
+                from ..parallel import (
+                    make_sharded_denoise,
+                    make_sharded_denoise_flush,
                 )
-            )
-            # steady-state executable: once SHIFT_NUM real frames are in,
-            # every warm-up window mask is a provable identity and a
-            # mask-free graph is compiled (bsvd.chunk_step warm=True)
-            self._batch_denoise_step_warm = ShapeCache(
-                lambda p, s, f: upscale_batch_denoise(
-                    sr_apply, p, s, f, spec, self.bsvd_cfg, warm=True,
+
+                self._batch_denoise_step = make_sharded_denoise(
+                    sr_apply, spec, self.mesh, self.bsvd_cfg, warm=False,
                     sr_sub_batch=sr_sub,
                 )
-            )
-            self._flush_step = ShapeCache(
-                lambda p, s, f, te: flush_batch_denoise(
-                    sr_apply, p, s, f, te, spec, self.bsvd_cfg
+                self._batch_denoise_step_warm = make_sharded_denoise(
+                    sr_apply, spec, self.mesh, self.bsvd_cfg, warm=True,
+                    sr_sub_batch=sr_sub,
                 )
-            )
+                self._flush_step = make_sharded_denoise_flush(
+                    sr_apply, spec, self.mesh, self.bsvd_cfg
+                )
+            else:
+                self._batch_denoise_step = ShapeCache(
+                    lambda p, s, f: upscale_batch_denoise(
+                        sr_apply, p, s, f, spec, self.bsvd_cfg,
+                        sr_sub_batch=sr_sub,
+                    )
+                )
+                # steady-state executable: once SHIFT_NUM real frames are
+                # in, every warm-up window mask is a provable identity and
+                # a mask-free graph is compiled (bsvd.chunk_step warm=True)
+                self._batch_denoise_step_warm = ShapeCache(
+                    lambda p, s, f: upscale_batch_denoise(
+                        sr_apply, p, s, f, spec, self.bsvd_cfg, warm=True,
+                        sr_sub_batch=sr_sub,
+                    )
+                )
+                self._flush_step = ShapeCache(
+                    lambda p, s, f, te: flush_batch_denoise(
+                        sr_apply, p, s, f, te, spec, self.bsvd_cfg
+                    )
+                )
             # last SHIFT_NUM raw frames: the flush references them for
             # the blend / color match of the drained outputs
             self._tail_frames: list = []
             self._tail_real: list = []
             self._frames_seen = 0
             self._last_step = 0
-        self._multi_step = ShapeCache(
-            lambda p, f: upscale_multi(sr_apply, p, f, spec)
+        if self.mesh is not None:
+            # batch over "data" + W over "spatial" (parallel/sharded.py);
+            # upscale_dispatch pads tail batches to batch_size, which must
+            # therefore split evenly over the data axis
+            from ..parallel import make_sharded_upscale
+
+            d = self.mesh.shape.get("data", 1)
+            assert self.batch_size % d == 0, (
+                f"batch_size {self.batch_size} must divide by the mesh "
+                f"data axis ({d}) — pass --batch-size {d * max(1, self.batch_size // d)}"
+            )
+            self._multi_step = make_sharded_upscale(sr_apply, spec, self.mesh)
+        else:
+            self._multi_step = ShapeCache(
+                lambda p, f: upscale_multi(sr_apply, p, f, spec)
+            )
+        log.info(
+            "model loaded (%s, denoise=%s, mesh=%s)",
+            self.upscaler_model,
+            self.denoising,
+            dict(self.mesh.shape) if self.mesh is not None else None,
         )
-        log.info("model loaded (%s, denoise=%s)", self.upscaler_model, self.denoising)
         self._initialized = True
 
     def proc_eof(self):
@@ -490,9 +538,14 @@ class EgvsrUpscalerService(BaseUpscalerService):
         cfg: egvsr.EGVSRConfig | None = None,
         pix_fmt: str = "rgb24",
         cut_threshold: float | None = 0.12,
+        mesh=None,
     ) -> None:
         super().__init__(name="EgvsrUpscaler")
         self.pix_fmt = pix_fmt
+        # multi-chip: W-shard the single recurrent stream over the mesh
+        # (parallel.make_sharded_egvsr_step — a frame-recurrent stream has
+        # no batch to split, so width is the latency-scaling axis)
+        self.mesh = mesh
         self.lr_shape = LR_LEVELS[lr_level]
         self.output_shape = output_shape
         self.on_queue = on_queue
@@ -541,11 +594,18 @@ class EgvsrUpscalerService(BaseUpscalerService):
         self._state = egvsr.init_recurrent_state(
             1, h, w, self.cfg, dtype=self.compute_dtype
         )
-        self._step = ShapeCache(
-            lambda p, s, f: egvsr_upscale_step(
-                p, s, f, spec, cut_threshold=self.cut_threshold, cfg=self.cfg
+        if self.mesh is not None:
+            from ..parallel import make_sharded_egvsr_step
+
+            self._step = make_sharded_egvsr_step(
+                spec, self.mesh, self.cfg, cut_threshold=self.cut_threshold
             )
-        )
+        else:
+            self._step = ShapeCache(
+                lambda p, s, f: egvsr_upscale_step(
+                    p, s, f, spec, cut_threshold=self.cut_threshold, cfg=self.cfg
+                )
+            )
         # micro-batch executable: flow for all T co-resident frames in ONE
         # batched fnet call (egvsr.infer_chunk).  Measured NEUTRAL on this
         # chip (110.8 vs 109.1 ms/frame at 720p/T=4, tools/profile_egvsr.py):
@@ -555,7 +615,10 @@ class EgvsrUpscalerService(BaseUpscalerService):
         # executable.  Default OFF; SHARKSHARK_EGVSR_CHUNK=1 enables.
         import os
 
-        self._use_chunk = os.environ.get("SHARKSHARK_EGVSR_CHUNK", "0") == "1"
+        self._use_chunk = (
+            os.environ.get("SHARKSHARK_EGVSR_CHUNK", "0") == "1"
+            and self.mesh is None  # chunk executable is single-device
+        )
         self._chunk_step = ShapeCache(
             lambda p, s, f: egvsr_upscale_chunk(
                 p, s, f, spec, cut_threshold=self.cut_threshold, cfg=self.cfg
