@@ -427,9 +427,20 @@ def test(opt: dict, params=None, label: str = "final") -> dict:
     results = {}
     for split in [k for k in opt["dataset"] if k.startswith("test")]:
         ds = _make_dataset(opt, split)
+        metric_names = opt.get("test", {}).get("metrics", ["PSNR"])
+        lpips = None
+        if "LPIPS" in metric_names:
+            from .metrics import LPIPS
+
+            lp = opt.get("test", {}).get("lpips_weights")
+            # explicit [alexnet_sd, linear_sd] paths (ingested reference
+            # weights) win; default = the checked-in minted pair, so a
+            # `metrics: [LPIPS]` config runs on a fresh offline checkout
+            lpips = LPIPS(*lp) if lp else LPIPS.minted()
         calc = MetricCalculator(
-            metrics=opt.get("test", {}).get("metrics", ["PSNR"]),
+            metrics=metric_names,
             psnr_colorspace=opt.get("test", {}).get("psnr_colorspace", "y"),
+            lpips=lpips,
         )
         save_dir = opt.get("test", {}).get("res_dir")
         for sample in ds:

@@ -6,9 +6,11 @@ LPIPS tree. PSNR and tOF reproduce the reference formulas exactly (BT.601
 Y channel; Farneback optical-flow end-point error via cv2). LPIPS is a
 JAX port of the net-lin AlexNet model (5 feature taps, unit-normalized,
 1x1 linear calibration): weights import from a torchvision alexnet state
-dict + the LPIPS linear .pth, both path-gated since nothing can be
-downloaded on the TPU image — compute_LPIPS raises a clear error without
-them.
+dict + the LPIPS linear .pth. Out of the box, LPIPS.minted() loads the
+checked-in locally trained backbone+calibration (tools/mint_lpips.py,
+ranking-calibrated on the derived corpus); for bit-parity with the
+reference's vendored metric, ingest torchvision's alexnet weights and
+the LPIPS v0.1 alex.pth linears and construct LPIPS(alex, lin) directly.
 """
 
 from __future__ import annotations
@@ -87,6 +89,16 @@ _ALEX_CONVS = ((0,), (3,), (6,), (8,), (10,))
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
+_MINTED_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "..", "weights", "minted"
+)
+MINTED_ALEX_PATH = os.path.abspath(
+    os.path.join(_MINTED_DIR, "lpips-alex-derived.pth")
+)
+MINTED_LIN_PATH = os.path.abspath(
+    os.path.join(_MINTED_DIR, "lpips-lin-derived.pth")
+)
+
 
 class LPIPS:
     """net-lin AlexNet LPIPS distance (reference LPIPS/models/
@@ -111,6 +123,19 @@ class LPIPS:
             jnp.asarray(lin[f"lin{i}.model.1.weight"][:, :, 0, 0].T)  # (C,1)
             for i in range(5)
         ]
+
+    @classmethod
+    def minted(cls) -> "LPIPS":
+        """Out-of-box LPIPS from the checked-in minted backbone +
+        calibration (tools/mint_lpips.py — AlexNet-architecture features
+        and 1x1 linears trained on a distortion-ranking objective over
+        the derived corpus; held-out monotonicity validated at mint
+        time).  The reference instead vendors torchvision's pretrained
+        alexnet + the LPIPS v0.1 alex.pth linears
+        (metrics/metric_calculator.py:228-243); ingest those and call
+        LPIPS(alex_path, lin_path) for bit-parity with its numbers —
+        minted-LPIPS values live on a different (self-consistent) scale."""
+        return cls(MINTED_ALEX_PATH, MINTED_LIN_PATH)
 
     def _features(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         """x: (N, H, W, 3) in [-1, 1] -> 5 feature maps. AlexNet feature
