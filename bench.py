@@ -219,7 +219,7 @@ def egvsr_step_bench(window_s: float) -> None:
     )
 
 
-def e2e_bench(seconds: float, fps: str, tag: str):
+def e2e_bench(seconds: float, fps: str, tag: str, sink: str = "file"):
     """Run tools/bench_e2e.py in a subprocess (its own pipeline threads +
     jax client) and return its parsed result.  fps='24' is the stress
     row (source at the reference's rate, expect shedding with bounded
@@ -236,6 +236,7 @@ def e2e_bench(seconds: float, fps: str, tag: str):
         # the measured link ceiling for interpretation)
         "--pix-fmt", "yuv420p",
         "--json-out", out_json,
+        "--sink", sink,
     ]
     try:
         subprocess.run(
@@ -278,6 +279,12 @@ def main() -> None:
     denoise_step_bench(min(window, 20.0))
     egvsr_step_bench(min(window, 12.0))
     if e2e_s > 0:
+        # transport-free machinery proof (VERDICT r3 item 3): full
+        # recoder->upscaler->streamer pipeline at the reference's 24 fps
+        # with the dev tunnel's H2D/D2H byte cost elided (--sink thumb;
+        # device compute + all host machinery real) — the row that
+        # corresponds to reference README.md:20 (24 fps, 0.5 % drop)
+        e2e_bench(max(e2e_s, 90.0), "24", "transport_free", sink="thumb")
         e2e_bench(e2e_s, "auto", "sustained")
         e2e_bench(e2e_s, "24", "stress")
     print(headline)

@@ -22,20 +22,21 @@ from concurrent.futures import ThreadPoolExecutor
 import httpx
 
 
-def one_request(url: str, path: str) -> str:
+def one_request(url: str, path: str) -> tuple[str, float]:
+    t0 = time.time()
     try:
         with open(path, "rb") as f:
             data = f.read()
         r = httpx.post(url, files={"file": data},
                        params={"return_type": "url"}, timeout=120)
         if r.status_code != 200:
-            return "err"
+            return "err", time.time() - t0
         body = r.json()
         if body.get("result") != "ok":
-            return "err"
-        return "hit" if body.get("cache") == "hit" else "ok"
+            return "err", time.time() - t0
+        return ("hit" if body.get("cache") == "hit" else "ok"), time.time() - t0
     except Exception:
-        return "err"
+        return "err", time.time() - t0
 
 
 def main(argv=None) -> None:
@@ -58,15 +59,20 @@ def main(argv=None) -> None:
         batch = [random.choice(files) for _ in range(args.requests_per_round)]
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=args.workers) as pool:
-            results = list(pool.map(lambda f: one_request(args.url, f), batch))
+            pairs = list(pool.map(lambda f: one_request(args.url, f), batch))
         dt = time.time() - t0
+        results = [s for s, _ in pairs]
+        lats = sorted(t for _, t in pairs)
         n = len(results)
         ok = results.count("ok") + results.count("hit")
         err = results.count("err")
         hit = results.count("hit")
+        p50 = lats[n // 2]
+        p99 = lats[min(n - 1, int(n * 0.99))]
         print(
             f"round {rnd}: rps={n / dt:.1f} ok_rate={ok / n:.3f} "
-            f"err_rate={err / n:.3f} cache_rate={hit / max(ok, 1):.3f}"
+            f"err_rate={err / n:.3f} cache_rate={hit / max(ok, 1):.3f} "
+            f"p50={p50:.2f}s p99={p99:.2f}s"
         )
 
 
