@@ -224,6 +224,21 @@ def _ring_pop_push(buf, val, t):
     return popped, jax.lax.dynamic_update_index_in_dim(buf, val, slot, axis=0)
 
 
+def _conv_fullres_step(p, x):
+    """Full-resolution narrow conv (inc*/outc*, C<=32) for the per-frame
+    streaming path.  Routes through the f=4 lane-folded lowering
+    (ops/lanefold.py) when enabled — the per-frame path's convs are the
+    same C<=32 720p convs the warm chunk folds, just at T=1; the folded
+    kernel is exact (ROADMAP 'not yet routed' straggler, round 4)."""
+    from ..ops.lanefold import conv3x3_folded, fold_lanes, lanefold_enabled, unfold_lanes
+
+    w = x.shape[-2]
+    wt = p["w"]
+    if wt.shape[:2] == (3, 3) and wt.shape[3] <= 32 and lanefold_enabled(w, 4):
+        return unfold_lanes(conv3x3_folded(fold_lanes(x, 4), wt, p.get("b"), 4), 4)
+    return conv2d(x, **p, padding=1)
+
+
 def _denblock_step(p, st, x, t, d0, t_end0, act):
     """One streaming step of a DenBlock. d0: depth of the block's first
     buffered conv; t_end0: input-window end for that conv (or None)."""
@@ -233,7 +248,7 @@ def _denblock_step(p, st, x, t, d0, t_end0, act):
         return None if t_end0 is None else t_end0 + offset
 
     skip1, st_skip1 = _ring_pop_push(st["skip1"], x[..., :3], t)
-    x0 = a(conv2d(a(conv2d(x, **p["inc0"], padding=1)), **p["inc1"], padding=1))
+    x0 = a(_conv_fullres_step(p["inc1"], a(_conv_fullres_step(p["inc0"], x))))
     skip2, st_skip2 = _ring_pop_push(st["skip2"], x0, t)
 
     x1 = a(conv2d(x0, **p["down0"], stride=2, padding=1))
@@ -249,7 +264,7 @@ def _denblock_step(p, st, x, t, d0, t_end0, act):
     u1, st_u1 = _mem_step(p["up1_mem"], st["up1"], u2 + skip3, t, d0 + 6, te(6), act)
     u1 = pixel_shuffle(conv2d(u1, **p["up1"], padding=1), 2)
 
-    y = conv2d(a(conv2d(u1 + skip2, **p["outc0"], padding=1)), **p["outc1"], padding=1)
+    y = _conv_fullres_step(p["outc1"], a(_conv_fullres_step(p["outc0"], u1 + skip2)))
     y = y.at[..., :3].set(skip1 - y[..., :3])
     new_st = {
         "skip1": st_skip1, "skip2": st_skip2, "skip3": st_skip3,

@@ -49,6 +49,29 @@ def init_params(key: jax.Array, factor: int = 4) -> dict:
     return params
 
 
+def _map_stack(params: dict, y: jnp.ndarray) -> jnp.ndarray:
+    """The M=4 3x3 S=12 mapping convs.  S=12 wastes >90% of the MXU's
+    128 lanes under the plain lowering; with f=8 W-folding (ops/lanefold)
+    the whole stack runs at 96 in/out lanes, entering/leaving folded
+    space once (free reshapes).  PReLU is per-original-channel, so the
+    folded activation tiles alpha across the f sub-pixels (exact).
+    ROADMAP 'not yet routed' straggler, round 4."""
+    from ..ops.lanefold import conv3x3_folded, fold_lanes, lanefold_enabled, unfold_lanes
+
+    f = 8
+    if not lanefold_enabled(y.shape[-2], f):
+        for conv_p, act_p in zip(params["map"], params["map_act"]):
+            y = prelu(conv2d(y, **conv_p, padding=1), act_p["alpha"])
+        return y
+    yf = fold_lanes(y, f)
+    for conv_p, act_p in zip(params["map"], params["map_act"]):
+        yf = prelu(
+            conv3x3_folded(yf, conv_p["w"], conv_p.get("b"), f),
+            jnp.tile(act_p["alpha"], f),
+        )
+    return unfold_lanes(yf, f)
+
+
 def apply(params: dict, x: jnp.ndarray, *, factor: int = 4) -> jnp.ndarray:
     """x: (N, H, W, 1) in [0, 1] -> (N, H*f, W*f, 1).
 
@@ -57,8 +80,7 @@ def apply(params: dict, x: jnp.ndarray, *, factor: int = 4) -> jnp.ndarray:
     f = factor
     y = prelu(conv2d(x, **params["feat"], padding=2), params["feat_act"]["alpha"])
     y = prelu(conv2d(y, **params["shrink"]), params["shrink_act"]["alpha"])
-    for conv_p, act_p in zip(params["map"], params["map_act"]):
-        y = prelu(conv2d(y, **conv_p, padding=1), act_p["alpha"])
+    y = _map_stack(params, y)
     y = prelu(conv2d(y, **params["expand"]), params["expand_act"]["alpha"])
     y = conv_transpose2d(
         y, **params["deconv"], stride=f, padding=4, output_padding=f - 1

@@ -66,8 +66,36 @@ def espcn_apply(params: dict, x: jnp.ndarray, *, cfg: ESPCNConfig = ESPCNConfig(
     """x: (N, H, W, in_nc) -> sigmoid HR (N, sH, sW, out_nc)."""
     s = cfg.scale
     y = jnp.tanh(conv2d(x, **params["conv1"], padding=2))
-    y = jnp.tanh(conv2d(y, **params["conv2"], padding=1))
-    y = jnp.tanh(conv2d(y, **params["conv3"], padding=1))
+    from ..ops.lanefold import conv3x3_folded, fold_lanes, lanefold_enabled, unfold_lanes
+
+    import os as _os
+
+    # MEASURED NEGATIVE on the dev v5e (round 4, probe_lanefold_stragglers):
+    # folded 4.65 vs plain 4.51 ms at 360p x4 — ESPCN's body is only two
+    # narrow convs bracketed by a 5x5 head and the subconv tail, so the
+    # fold's 2-4x MAC multiplier isn't amortized.  Default OFF on TPU;
+    # 'force' keeps the CPU parity tests exercising the folded lowering,
+    # SHARKSHARK_LANEFOLD_ESPCN=1 re-enables for re-measurement.
+    _espcn_fold = (
+        _os.environ.get("SHARKSHARK_LANEFOLD") == "force"
+        or _os.environ.get("SHARKSHARK_LANEFOLD_ESPCN") == "1"
+    )
+    if (
+        _espcn_fold
+        and params["conv2"]["w"].shape == (3, 3, 64, 32)
+        and params["conv3"]["w"].shape == (3, 3, 32, 32)
+        and lanefold_enabled(y.shape[-2], 4)
+    ):
+        # lane-folded body (ops/lanefold.py; ROADMAP straggler, round 4):
+        # conv2 runs f=2 (64ch -> 128 in-lanes), conv3 f=4 (32ch -> 128
+        # lanes); the f=2 -> f=4 refold between them is a free reshape.
+        # Elementwise tanh commutes with the layout fold (exact).
+        yf = jnp.tanh(conv3x3_folded(fold_lanes(y, 2), params["conv2"]["w"], params["conv2"].get("b"), 2))
+        yf = fold_lanes(unfold_lanes(yf, 2), 4)
+        y = unfold_lanes(jnp.tanh(conv3x3_folded(yf, params["conv3"]["w"], params["conv3"].get("b"), 4)), 4)
+    else:
+        y = jnp.tanh(conv2d(y, **params["conv2"], padding=1))
+        y = jnp.tanh(conv2d(y, **params["conv3"], padding=1))
     if cfg.up_method == "deconv":
         y = conv_transpose2d(
             x=y, **params["deconv"], stride=s, padding=2, output_padding=s - 1

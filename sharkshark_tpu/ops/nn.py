@@ -246,8 +246,7 @@ def pairfold_conv_weights(w: jnp.ndarray, ci_pad: int = 32) -> jnp.ndarray:
     the same |d| <= 1 band and must stay consistent; this ci_pad variant
     additionally zero-pads narrow channel counts to a 32-lane block.
 
-    MAC count doubles but
-    the conv runs at 2x the channel width — measured net ~1.8x on the
+    MAC count doubles but the conv runs at 2x the channel width — measured net ~1.8x on the
     dev chip for C=32 at 720p (BASELINE.md: C=32 runs at 13 TFLOP/s vs
     C=64 at 46.6)."""
     kh, kw, ci, co = w.shape

@@ -46,6 +46,9 @@ def main(argv=None) -> None:
     p.add_argument("--workers", type=int, default=64)
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--requests-per-round", type=int, default=256)
+    p.add_argument("--unique", action="store_true",
+                   help="each request uses a distinct image (cache-miss "
+                        "round: every request pays the real model)")
     args = p.parse_args(argv)
 
     files = [
@@ -56,7 +59,10 @@ def main(argv=None) -> None:
     assert files, f"no images under {args.images}"
 
     for rnd in range(args.rounds):
-        batch = [random.choice(files) for _ in range(args.requests_per_round)]
+        if args.unique:
+            batch = random.sample(files, min(args.requests_per_round, len(files)))
+        else:
+            batch = [random.choice(files) for _ in range(args.requests_per_round)]
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=args.workers) as pool:
             pairs = list(pool.map(lambda f: one_request(args.url, f), batch))
