@@ -234,7 +234,12 @@ def _conv_fullres_step(p, x):
 
     w = x.shape[-2]
     wt = p["w"]
-    if wt.shape[:2] == (3, 3) and wt.shape[3] <= 32 and lanefold_enabled(w, 4):
+    if (
+        wt.shape[:2] == (3, 3)
+        and wt.shape[2] <= 32
+        and wt.shape[3] <= 32
+        and lanefold_enabled(w, 4)
+    ):
         return unfold_lanes(conv3x3_folded(fold_lanes(x, 4), wt, p.get("b"), 4), 4)
     return conv2d(x, **p, padding=1)
 

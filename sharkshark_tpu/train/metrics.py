@@ -123,6 +123,14 @@ class LPIPS:
             jnp.asarray(lin[f"lin{i}.model.1.weight"][:, :, 0, 0].T)  # (C,1)
             for i in range(5)
         ]
+        # Provenance travels into every metrics JSON (MetricCalculator
+        # .save): minted-LPIPS values are a self-consistent rank metric
+        # but NOT comparable to published LPIPS v0.1 numbers.
+        minted = (
+            os.path.abspath(alexnet_sd_path) == MINTED_ALEX_PATH
+            and os.path.abspath(linear_sd_path) == MINTED_LIN_PATH
+        )
+        self.provenance = "minted" if minted else "ingested"
 
     @classmethod
     def minted(cls) -> "LPIPS":
@@ -244,5 +252,10 @@ class MetricCalculator:
             with open(path) as f:
                 data = json.load(f)
         data[label] = {"sequences": self.seq_results, "average": self.average()}
+        if "LPIPS" in self.metrics and self.lpips is not None:
+            # 'minted' values are a self-consistent rank metric, NOT
+            # LPIPS v0.1 — only 'ingested' (reference alex.pth +
+            # calibrated linears) numbers compare to published scores.
+            data[label]["lpips_weights"] = self.lpips.provenance
         with open(path, "w") as f:
             json.dump(data, f, indent=2)

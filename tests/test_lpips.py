@@ -171,3 +171,30 @@ def test_metric_calculator_lpips_out_of_box():
     assert res["LPIPS"] > 0
     same = calc.compute_sequence_metrics("seq1", gt, gt)
     assert same["LPIPS"] < 1e-6
+
+
+@needs_minted
+def test_metric_json_stamps_lpips_provenance(tmp_path):
+    """Every metrics JSON the driver writes must say whether its LPIPS
+    numbers came from minted or ingested weights (VERDICT r4 item 8) —
+    minted values are a rank metric, not LPIPS v0.1."""
+    import json
+
+    lp = LPIPS.minted()
+    assert lp.provenance == "minted"
+    calc = MetricCalculator(metrics=["LPIPS"], lpips=lp)
+    rng = np.random.default_rng(5)
+    gt = rng.integers(0, 256, (1, 48, 48, 3), dtype=np.uint8)
+    calc.compute_sequence_metrics("seq0", gt, gt)
+    path = str(tmp_path / "test_avg.json")
+    calc.save(path, "iter 1")
+    with open(path) as f:
+        data = json.load(f)
+    assert data["iter 1"]["lpips_weights"] == "minted"
+    # PSNR-only JSONs must NOT carry the stamp
+    calc2 = MetricCalculator(metrics=["PSNR"])
+    calc2.compute_sequence_metrics("seq0", gt, gt)
+    calc2.save(path, "iter 2")
+    with open(path) as f:
+        data = json.load(f)
+    assert "lpips_weights" not in data["iter 2"]

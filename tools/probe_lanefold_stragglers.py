@@ -37,11 +37,16 @@ def bench(fn, args, reps):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-def ab(name, build, reps):
-    """build(folded: bool) -> (jitted_fn, args)."""
+def ab(name, build, reps, extra_env=()):
+    """build(folded: bool) -> (jitted_fn, args).  extra_env lists extra
+    env vars toggled '1'/'0' alongside SHARKSHARK_LANEFOLD — paths whose
+    fold is gated behind an opt-in (e.g. ESPCN's
+    SHARKSHARK_LANEFOLD_ESPCN) would otherwise measure plain-vs-plain."""
     rows = {}
     for folded in (False, True):
         os.environ["SHARKSHARK_LANEFOLD"] = "1" if folded else "0"
+        for var in extra_env:
+            os.environ[var] = "1" if folded else "0"
         fn, args = build()
         rows["folded" if folded else "plain"] = round(bench(fn, args, reps), 2)
     r = rows["plain"] / rows["folded"]
@@ -88,7 +93,8 @@ def main():
         fn = jax.jit(lambda pp, xx: variants.espcn_apply(pp, xx))
         return fn, (pe, xe)
 
-    ab("espcn@360p_x4", build_espcn, args.reps)
+    ab("espcn@360p_x4", build_espcn, args.reps,
+       extra_env=("SHARKSHARK_LANEFOLD_ESPCN",))
 
 
 if __name__ == "__main__":
