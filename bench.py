@@ -194,7 +194,17 @@ def egvsr_step_bench(window_s: float) -> None:
     checksum = jax.jit(lambda o: jnp.sum(o, dtype=jnp.float32))
     out, st = fn(params, state, lr)
     float(checksum(out))
+    # warm-rep discipline (VERDICT r4 item 2): 3 discarded warm blocks
+    # bring the executable, the carry layout, and the tunnel's RPC path
+    # to steady state before any timed block — r4's ms_std 12.86 was a
+    # cold-block artifact; value = MEDIAN of timed blocks so one tunnel
+    # hiccup cannot move the recorded number
     block, block_ms = 10, []
+    for _ in range(3):
+        st = state
+        for _ in range(block):
+            out, st = fn(params, st, lr)
+        float(checksum(out))
     t_start = time.perf_counter()
     while time.perf_counter() - t_start < window_s:
         t0 = time.perf_counter()
@@ -203,14 +213,16 @@ def egvsr_step_bench(window_s: float) -> None:
             out, st = fn(params, st, lr)
         float(checksum(out))
         block_ms.append((time.perf_counter() - t0) / block * 1e3)
-    ms = float(np.mean(block_ms))
+    ms = float(np.median(block_ms))
     print(
         json.dumps(
             {
                 "metric": "egvsr_720p_ms_per_frame",
                 "value": round(ms, 1),
                 "unit": "ms",
+                "ms_mean": round(float(np.mean(block_ms)), 1),
                 "ms_std": round(float(np.std(block_ms)), 2),
+                "blocks": len(block_ms),
                 # reference envelope: 45 ms @ 720p (lower is better)
                 "vs_baseline": round(45.0 / ms, 3),
             }
@@ -219,7 +231,8 @@ def egvsr_step_bench(window_s: float) -> None:
     )
 
 
-def e2e_bench(seconds: float, fps: str, tag: str, sink: str = "file"):
+def e2e_bench(seconds: float, fps: str, tag: str, sink: str = "file",
+              denoise: bool = False, timeout_s: float | None = None):
     """Run tools/bench_e2e.py in a subprocess (its own pipeline threads +
     jax client) and return its parsed result.  fps='24' is the stress
     row (source at the reference's rate, expect shedding with bounded
@@ -230,7 +243,7 @@ def e2e_bench(seconds: float, fps: str, tag: str, sink: str = "file"):
     cmd = [
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "bench_e2e.py"),
-        "--seconds", str(seconds), "--fps", fps, "--no-denoise",
+        "--seconds", str(seconds), "--fps", fps,
         # device-side colorspace conversion: the encoder feed goes over
         # the host link at half width (the result line records pix_fmt +
         # the measured link ceiling for interpretation)
@@ -238,9 +251,12 @@ def e2e_bench(seconds: float, fps: str, tag: str, sink: str = "file"):
         "--json-out", out_json,
         "--sink", sink,
     ]
+    if not denoise:
+        cmd.append("--no-denoise")
     try:
         subprocess.run(
-            cmd, check=True, timeout=seconds * 6 + 1500,
+            cmd, check=True,
+            timeout=timeout_s if timeout_s else seconds * 6 + 1500,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         with open(out_json) as f:
@@ -256,7 +272,18 @@ def e2e_bench(seconds: float, fps: str, tag: str, sink: str = "file"):
 
 def main() -> None:
     window = float(os.environ.get("SHARKSHARK_BENCH_WINDOW_SECONDS", "30"))
-    e2e_s = float(os.environ.get("SHARKSHARK_BENCH_E2E_SECONDS", "60"))
+    e2e_s = float(os.environ.get("SHARKSHARK_BENCH_E2E_SECONDS", "45"))
+    # wall-clock budget for the WHOLE bench run (VERDICT r4 item 3: the
+    # round-4 driver run was killed at rc=124 mid-e2e).  Later e2e rows
+    # shrink their windows — and ultimately their subprocess timeouts —
+    # to fit what remains, so the run always exits 0 with every row
+    # present (a row that truly cannot fit records an "error" line
+    # instead of blowing the budget).
+    budget_s = float(os.environ.get("SHARKSHARK_BENCH_BUDGET_S", "1500"))
+    t_bench0 = time.perf_counter()
+
+    def remaining() -> float:
+        return budget_s - (time.perf_counter() - t_bench0)
 
     fps = device_step_bench(window)
     headline = json.dumps(
@@ -276,17 +303,36 @@ def main() -> None:
     # run mid-e2e the headline is already on stdout), then again last so
     # a tail parse also lands on it
     print(headline, flush=True)
-    denoise_step_bench(min(window, 20.0))
-    egvsr_step_bench(min(window, 12.0))
+    fps_denoise = denoise_step_bench(min(window, 20.0))
+    egvsr_step_bench(min(window, 15.0))
     if e2e_s > 0:
         # transport-free machinery proof (VERDICT r3 item 3): full
         # recoder->upscaler->streamer pipeline at the reference's 24 fps
         # with the dev tunnel's H2D/D2H byte cost elided (--sink thumb;
         # device compute + all host machinery real) — the row that
-        # corresponds to reference README.md:20 (24 fps, 0.5 % drop)
-        e2e_bench(max(e2e_s, 90.0), "24", "transport_free", sink="thumb")
-        e2e_bench(e2e_s, "auto", "sustained")
-        e2e_bench(e2e_s, "24", "stress")
+        # corresponds to reference README.md:20 (24 fps, 0.5 % drop).
+        # Each row's window and subprocess timeout fit the remaining
+        # budget; compiles are served by the persistent XLA cache.
+        rows = [
+            (max(e2e_s, 90.0), "24", "transport_free", "thumb", False),
+            (e2e_s, "auto", "sustained", "file", False),
+            (e2e_s, "24", "stress", "file", False),
+        ]
+        if fps_denoise is not None and fps_denoise >= 23.0:
+            # the north-star configuration (BASELINE.md): denoise ON at
+            # the reference's 24 fps — only meaningful once the device
+            # step clears the source rate (VERDICT r4 item 4)
+            rows.insert(
+                1, (max(e2e_s, 90.0), "24", "transport_free_denoise",
+                    "thumb", True)
+            )
+        for want_s, src_fps, tag, sink, dn in rows:
+            rem = remaining()
+            # overhead per row: jax client startup + warmup + link probes
+            # (~90 s with a warm persistent cache)
+            run_s = min(want_s, max(30.0, rem - 150.0))
+            e2e_bench(run_s, src_fps, tag, sink=sink, denoise=dn,
+                      timeout_s=max(60.0, rem - 30.0))
     print(headline)
 
 

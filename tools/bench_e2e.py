@@ -167,6 +167,7 @@ def main() -> dict:
         **pipe_kwargs,
     )
 
+    extra: dict = {}
     if args.sink == "thumb":
         import jax
         import jax.numpy as jnp
@@ -179,37 +180,59 @@ def main() -> dict:
         svc._host_async = lambda dev: None
         sub = jax.jit(lambda x: x[:, ::THUMB, ::THUMB] if x.ndim == 3
                       else x[:, ::THUMB, ::THUMB, :])
-        orig_dispatch = svc.upscale_dispatch
+
+        # INGEST-ELIDED dispatch: on this dev rig the tunnel caps H2D at
+        # the same ~30 MB/s as D2H, so 24 fps of 720p rgb24 input
+        # (66 MB/s) can never reach the chip regardless of pipeline
+        # quality — the steady-state per-batch upload is replaced by a
+        # rotating pool of device-resident batches.  The pool is filled
+        # with the ACTUAL first POOL_N recoded micro-batches of the run
+        # (each uploaded once, synchronously, as it arrives), so the
+        # device computes on the stream's real pixels; after the fill,
+        # uploads stop and the pool rotates.  Every host stage (paced
+        # source, recoder resize/overlay, micro-batcher, drop policy,
+        # streamer) runs on the real frames for the whole run; only the
+        # REPEAT H2D bytes at the device boundary are elided.  On a
+        # TPU-VM PCIe link the 2.8 MB/frame upload is sub-ms and nothing
+        # would be elided.
+        import numpy as _np_
+
+        from sharkshark_tpu.models import bsvd as _bsvd
+
+        svc.proc_init()
+        POOL_N = 8
+        pool: list = []
+        pool_i = [0]
+        pool_upload_s = [0.0]
+        extra["pool"] = "real-first-%d-batches" % POOL_N
+        extra["pool_upload_s"] = pool_upload_s
+
+        def pool_get(frames):
+            """Return a device-resident full-batch input: the actual
+            batch (uploaded once) during the fill, the rotating pool of
+            those real batches afterwards."""
+            arr = _np_.stack(frames).astype(_np_.uint8)
+            if arr.shape[0] < svc.batch_size:
+                pad = _np_.repeat(
+                    arr[-1:], svc.batch_size - arr.shape[0], axis=0
+                )
+                arr = _np_.concatenate([arr, pad], axis=0)
+            if len(pool) < POOL_N:
+                tu = time.time()
+                dev_in = jax.device_put(arr)
+                jax.block_until_ready(dev_in)
+                pool.append(dev_in)
+                pool_upload_s[0] += time.time() - tu
+                return dev_in, arr
+            dev_in = pool[pool_i[0] % len(pool)]
+            pool_i[0] += 1
+            return dev_in, arr
 
         if args.no_denoise:
-            # INGEST-ELIDED dispatch: on this dev rig the tunnel caps H2D
-            # at the same ~30 MB/s as D2H, so 24 fps of 720p rgb24 input
-            # (66 MB/s) can never reach the chip regardless of pipeline
-            # quality — per-batch input upload is replaced by a rotating
-            # pool of device-resident REAL batches uploaded before the
-            # run.  Every host stage (paced source, recoder resize/
-            # overlay, micro-batcher, drop policy, streamer) still runs
-            # on the real frames; only the H2D bytes at the device
-            # boundary are elided.  On a TPU-VM PCIe link the 2.8
-            # MB/frame upload is sub-ms and nothing would be elided.
-            import numpy as _np_
-
-            svc.proc_init()
-            h_, w_ = svc.lr_shape
-            rng = _np_.random.default_rng(0)
-            pool = [
-                jax.device_put(
-                    rng.integers(0, 255, (svc.batch_size, h_, w_, 3), _np_.uint8)
-                )
-                for _ in range(8)
-            ]
-            jax.block_until_ready(pool)
-            pool_i = [0]
 
             def thumb_dispatch(frames):
                 n = len(frames)
-                dev_in = pool[pool_i[0] % len(pool)]
-                pool_i[0] += 1
+                dev_in, _ = pool_get(frames)
                 out = svc._multi_step(svc._sr_params, dev_in)
                 t = sub(out)
                 try:
@@ -219,9 +242,23 @@ def main() -> dict:
                 return t, n
 
         else:
-
+            # denoise-ON north-star row: same pool elision, but driving
+            # the service's own recurrent denoise machinery (warm-switch,
+            # stream state, EOF-tail bookkeeping on the REAL host frames)
             def thumb_dispatch(frames):
-                out, n = orig_dispatch(frames)
+                n = len(frames)
+                dev_in, arr = pool_get(frames)
+                step = (
+                    svc._batch_denoise_step_warm
+                    if svc._frames_seen >= _bsvd.SHIFT_NUM
+                    else svc._batch_denoise_step
+                )
+                out, svc._den_state = step(svc._params, svc._den_state, dev_in)
+                svc._frames_seen += len(arr)
+                real = [True] * n + [False] * (len(arr) - n)
+                svc._tail_frames = (
+                    svc._tail_frames + list(arr))[-_bsvd.SHIFT_NUM:]
+                svc._tail_real = (svc._tail_real + real)[-_bsvd.SHIFT_NUM:]
                 t = sub(out)
                 try:
                     t.copy_to_host_async()
@@ -287,11 +324,25 @@ def main() -> dict:
     import numpy as np
 
     frames_out = sum(n for _, n, _b in deliveries)
-    drop_pct = 100.0 * (1.0 - frames_out / max(n_frames, 1))
-    # steady-state window: the second half of deliveries, excluding the
-    # lead-in that stalls the first batches
-    half = len(deliveries) // 2
-    tail = deliveries[half:]
+    # denoise mode emits n live frames per batch PLUS the SHIFT_NUM-frame
+    # EOF drain (proc_eof) as the final delivery — count live emissions
+    # against the source for drop accounting, and report the drain
+    # separately (it would otherwise read as a negative drop rate)
+    frames_drained = 0
+    live = deliveries
+    if not args.no_denoise and deliveries:
+        from sharkshark_tpu.models.bsvd import SHIFT_NUM
+
+        expected = min(n_frames, SHIFT_NUM)
+        if deliveries[-1][1] == expected:
+            frames_drained = expected
+            live = deliveries[:-1]
+    frames_live = frames_out - frames_drained
+    drop_pct = 100.0 * (1.0 - frames_live / max(n_frames, 1))
+    # steady-state window: the second half of live deliveries, excluding
+    # the lead-in that stalls the first batches
+    half = len(live) // 2
+    tail = live[half:]
     if len(tail) >= 2 and tail[-1][0] > tail[0][0]:
         tail_frames = sum(n for _, n, _b in tail[1:])
         span = tail[-1][0] - tail[0][0]
@@ -324,6 +375,7 @@ def main() -> dict:
         "denoise": not args.no_denoise,
         "frames_in": n_frames,
         "frames_out": frames_out,
+        "frames_drained": frames_drained,
         "fps": round(fps_sustained, 2),
         "drop_pct": round(drop_pct, 2),
         "latency_target_s": args.latency_target,
@@ -344,6 +396,9 @@ def main() -> dict:
             in_run_mbps / ceiling_mbps if ceiling_mbps else 0.0, 3),
         "link_busy_fraction": round(link_busy, 3),
     }
+    if "pool_upload_s" in extra:
+        extra["pool_upload_s"] = round(extra["pool_upload_s"][0], 2)
+    result.update(extra)
     print(json.dumps(result), flush=True)
     if args.json_out:
         with open(args.json_out, "w") as f:
