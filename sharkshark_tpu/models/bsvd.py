@@ -576,8 +576,13 @@ def _fifo(carry: jnp.ndarray, chunk: jnp.ndarray):
 def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
     """One DenBlock over a chunk.  x: (T, N, H, W, in_ch) for frames
     [base, base+T); returns output frames [base-8, base+T-8)."""
-    if warm and _lanefold_on(x.shape, p["inc1"]["w"].shape[-1]):
-        return _denblock_chunk_folded(p, st, x, act, base, t_end)
+    if _lanefold_on(x.shape, p["inc1"]["w"].shape[-1]):
+        # ONE lowering per stage for warm AND cold chunks (VERDICT r4
+        # item 7): the cold path previously pairfolded f=2, so under
+        # SHARKSHARK_LANEFOLD=force warm-vs-cold bit-identity failed at
+        # the accumulation-order level.  The folded path applies the
+        # same warm-up/flush window masks (inside _mem_chunk) when cold.
+        return _denblock_chunk_folded(p, st, x, act, base, t_end, warm)
     skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
     x0 = _conv_batched(p["inc1"], _conv_batched(p["inc0"], x, act), act)
     skip2, st_s2 = _fifo(st["skip2"], x0)
@@ -599,7 +604,7 @@ def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
     return y, new_st
 
 
-def _denblock_chunk_folded(p, st, x, act, base, t_end):
+def _denblock_chunk_folded(p, st, x, act, base, t_end, warm=False):
     """Warm-path DenBlock with the full-resolution C<=32 stage in
     lane-folded layout (ops/lanefold.py): the inc/outc/down/up convs run
     as dense 128-lane convs over W/4 super-pixels instead of 32-lane
@@ -619,15 +624,15 @@ def _denblock_chunk_folded(p, st, x, act, base, t_end):
     skip2, st_s2 = _fifo(st["skip2"], lf.unfold_lanes(x0f, 4))
     x1f = _fold_batched(lf.conv_stride2_folded, p["down0"], x0f, act, 4)
     x1 = lf.unfold_lanes(x1f, 2)
-    x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end, True)
+    x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end, warm)
     skip3, st_s3 = _fifo(st["skip3"], x1)  # x1 frames [base-2, ...)
     x2 = _fold_batched(
         lf.conv_stride2_folded, p["down1"], lf.fold_lanes(x1, 2), act, 2
     )  # f_out = 1: quarter-res C=128, already canonical
-    x2, st_d1 = _mem_chunk(p["down1_mem"], st["down1"], x2, act, base - 2, t_end, True)
-    u2, st_u2 = _mem_chunk(p["up2_mem"], st["up2"], x2, act, base - 4, t_end, True)
+    x2, st_d1 = _mem_chunk(p["down1_mem"], st["down1"], x2, act, base - 2, t_end, warm)
+    u2, st_u2 = _mem_chunk(p["up2_mem"], st["up2"], x2, act, base - 4, t_end, warm)
     u2 = lf.unfold_lanes(_fold_batched(lf.conv_ps2_folded, p["up2"], u2, None, 1), 2)
-    u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end, True)
+    u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end, warm)
     u1f = _fold_batched(lf.conv_ps2_folded, p["up1"], lf.fold_lanes(u1, 2), None, 2)
     yf = _fold_batched(
         lf.conv3x3_folded, p["outc1"],

@@ -160,3 +160,64 @@ def test_folded_paths_differentiate(monkeypatch):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_espcn_body_folded_matches_plain(monkeypatch):
+    """Force-mode routes ESPCN's conv2/conv3 through the f=2/f=4 folded
+    lowering (models/variants.py espcn_apply) — must match the plain
+    body within accumulation-order tolerance (ADVICE r4: the routed fold
+    shipped without a regression test)."""
+    from sharkshark_tpu.models.variants import ESPCNConfig, espcn_apply, espcn_init
+
+    cfg = ESPCNConfig(scale=2)
+    params = espcn_init(jax.random.PRNGKey(0), cfg)
+    x = _rand(jax.random.PRNGKey(1), (2, 8, 16, 1)) * 0.5 + 0.5
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "0")
+    monkeypatch.delenv("SHARKSHARK_LANEFOLD_ESPCN", raising=False)
+    plain = espcn_apply(params, x, cfg=cfg)
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    folded = espcn_apply(params, x, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(plain), rtol=0, atol=1e-5
+    )
+
+
+def test_fsrcnn_map_stack_folded_matches_plain(monkeypatch):
+    """Force-mode folds FSRCNN's S=12 mapping stack at f=8 with the PReLU
+    alpha tiled across sub-pixels (models/fsrcnn.py _map_stack)."""
+    from sharkshark_tpu.models import fsrcnn
+
+    params = fsrcnn.init_params(jax.random.PRNGKey(0))
+    x = _rand(jax.random.PRNGKey(1), (1, 8, 16, 1)) * 0.5 + 0.5
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "0")
+    plain = fsrcnn.apply(params, x)
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    folded = fsrcnn.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(folded), np.asarray(plain), rtol=0, atol=1e-4
+    )
+
+
+def test_bsvd_stream_step_folded_matches_plain(monkeypatch):
+    """Force-mode routes bsvd.stream_step's full-res C<=32 convs through
+    the f=4 folded lowering (_conv_fullres_step) — the streamed outputs
+    must match the plain lowering frame for frame."""
+    from sharkshark_tpu.models import bsvd
+
+    cfg = bsvd.BSVDConfig(chns=(8, 16, 32), mid_ch=8, interm_ch=8)
+    params = bsvd.init_params(jax.random.PRNGKey(0), cfg)
+    frames = _rand(jax.random.PRNGKey(1), (20, 1, 8, 8, cfg.in_ch)) * 0.3
+
+    def run():
+        st = bsvd.init_stream_state(1, 8, 8, cfg)
+        ys = []
+        for i in range(frames.shape[0]):
+            y, st = bsvd.stream_step(params, st, frames[i], cfg=cfg)
+            ys.append(np.asarray(y))
+        return np.stack(ys)
+
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "0")
+    plain = run()
+    monkeypatch.setenv("SHARKSHARK_LANEFOLD", "force")
+    folded = run()
+    np.testing.assert_allclose(folded, plain, rtol=0, atol=1e-4)
