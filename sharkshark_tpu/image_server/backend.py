@@ -65,6 +65,10 @@ class ImageBackend:
                 lr_hr_resize=False,
                 output_shape=None,
                 on_queue=on_queue,
+                # merge concurrent same-bucket requests into one device
+                # dispatch (the shape buckets above make collisions
+                # common under load) — VERDICT r4 item 6
+                coalesce_max=8,
             )
         )
         self.cache = cache or MemoryImageCache()

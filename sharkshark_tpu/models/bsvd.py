@@ -270,7 +270,7 @@ def _denblock_step(p, st, x, t, d0, t_end0, act):
     u1 = pixel_shuffle(conv2d(u1, **p["up1"], padding=1), 2)
 
     y = _conv_fullres_step(p["outc1"], a(_conv_fullres_step(p["outc0"], u1 + skip2)))
-    y = y.at[..., :3].set(skip1 - y[..., :3])
+    y = _residual3(y, skip1)
     new_st = {
         "skip1": st_skip1, "skip2": st_skip2, "skip3": st_skip3,
         "down0": st_d0, "down1": st_d1, "up2": st_u2, "up1": st_u1,
@@ -564,13 +564,62 @@ def _ps_batched(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return y.reshape(t, n, *y.shape[1:])
 
 
-def _fifo(carry: jnp.ndarray, chunk: jnp.ndarray):
+def _fifo(carry: jnp.ndarray, chunk: jnp.ndarray, base=None):
     """Skip FIFO: carry holds the D frames before the chunk.  Returns the
-    chunk-length window aligned D frames back, and the new carry."""
+    chunk-length window aligned D frames back, and the new carry.
+
+    base (traced global index of chunk[0]) switches to a RING layout:
+    frame f lives at slot f % D, pop/push are T-frame dynamic slices at
+    offset base % D — the push writes T frames instead of rebuilding all
+    D (measured 3.42 -> 2.85 ms/frame on the skip2 shape, round-5 probe).
+    Only valid when T divides D and base % D is T-aligned; chunk_step
+    passes base only on warm steps, where the service's warm-switch
+    contract (first warm chunk at t = ceil(16/T)*T with T | 8, so t % 8
+    == 0, uniform T thereafter) guarantees both — and makes the cold
+    FIFO layout coincide with the ring layout at the handoff."""
     d = carry.shape[0]
     t = chunk.shape[0]
+    if base is not None and d % t == 0:
+        off = jnp.mod(base, d)
+        pop = jax.lax.dynamic_slice_in_dim(carry, off, t, 0)
+        return pop, jax.lax.dynamic_update_slice_in_dim(carry, chunk, off, 0)
     full = jnp.concatenate([carry, chunk], axis=0)
     return full[:t], full[t : t + d]
+
+
+def _residual3(y: jnp.ndarray, skip1: jnp.ndarray) -> jnp.ndarray:
+    """out[..., :3] = skip1 - y[..., :3], rest passthrough (the DenBlock
+    residual, reference model.py:421-424).  One fused elementwise pass —
+    the .at[..., :3].set DUS form costs an extra full-tensor copy on TPU
+    (round-5 probe: 2.66 vs 2.31 ms/frame on the temp1 output shape)."""
+    if y.shape[-1] == 3:
+        return skip1 - y
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
+    pad = [(0, 0)] * (y.ndim - 1) + [(0, y.shape[-1] - 3)]
+    sp = jnp.pad(skip1, pad)
+    return jnp.where(lane < 3, sp - y, y)
+
+
+def ring_to_fifo_state(state: dict, cfg: BSVDConfig = BSVD_32) -> dict:
+    """Convert a state whose skip1/skip2 buffers are in RING order (left
+    by warm chunk_step calls — frame f at slot f % D) back to the FIFO
+    order the cold/flush executables expect (slot i = frame t - D + i).
+    No-op when t % D == 0 (e.g. a stream that never went warm and was
+    fed in T | 8 chunks).  Call once before EOF flushing a stream that
+    ran warm chunks."""
+
+    def fix(block):
+        d = block["skip1"].shape[0]
+        r = jnp.mod(state["t"], d)
+
+        def roll(buf):
+            return jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate([buf, buf], axis=0), r, d, 0
+            )
+
+        return {**block, "skip1": roll(block["skip1"]), "skip2": roll(block["skip2"])}
+
+    return {**state, "temp1": fix(state["temp1"]), "temp2": fix(state["temp2"])}
 
 
 def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
@@ -583,9 +632,10 @@ def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
         # the accumulation-order level.  The folded path applies the
         # same warm-up/flush window masks (inside _mem_chunk) when cold.
         return _denblock_chunk_folded(p, st, x, act, base, t_end, warm)
-    skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
+    rb = base if warm else None  # ring FIFOs valid on warm steps only
+    skip1, st_s1 = _fifo(st["skip1"], x[..., :3], rb)
     x0 = _conv_batched(p["inc1"], _conv_batched(p["inc0"], x, act), act)
-    skip2, st_s2 = _fifo(st["skip2"], x0)
+    skip2, st_s2 = _fifo(st["skip2"], x0, rb)
     x1 = _conv_batched(p["down0"], x0, act, stride=2)
     x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end, warm)
     skip3, st_s3 = _fifo(st["skip3"], x1)  # x1 frames [base-2, ...)
@@ -596,7 +646,7 @@ def _denblock_chunk(p, st, x, act, base, t_end, warm=False):
     u1, st_u1 = _mem_chunk(p["up1_mem"], st["up1"], u2 + skip3, act, base - 6, t_end, warm)
     u1 = _ps_batched(_conv_batched(p["up1"], u1), 2)
     y = _conv_batched(p["outc1"], _conv_batched(p["outc0"], u1 + skip2, act))
-    y = y.at[..., :3].set(skip1 - y[..., :3])
+    y = _residual3(y, skip1)
     new_st = {
         "skip1": st_s1, "skip2": st_s2, "skip3": st_s3,
         "down0": st_d0, "down1": st_d1, "up2": st_u2, "up1": st_u1,
@@ -615,13 +665,14 @@ def _denblock_chunk_folded(p, st, x, act, base, t_end, warm=False):
     sums (f32 parity ~1e-6; accumulation order differs)."""
     from ..ops import lanefold as lf
 
-    skip1, st_s1 = _fifo(st["skip1"], x[..., :3])
+    rb = base if warm else None  # ring FIFOs valid on warm steps only
+    skip1, st_s1 = _fifo(st["skip1"], x[..., :3], rb)
     xf = lf.fold_lanes(x, 4)
     x0f = _fold_batched(
         lf.conv3x3_folded, p["inc1"],
         _fold_batched(lf.conv3x3_folded, p["inc0"], xf, act, 4), act, 4,
     )
-    skip2, st_s2 = _fifo(st["skip2"], lf.unfold_lanes(x0f, 4))
+    skip2, st_s2 = _fifo(st["skip2"], lf.unfold_lanes(x0f, 4), rb)
     x1f = _fold_batched(lf.conv_stride2_folded, p["down0"], x0f, act, 4)
     x1 = lf.unfold_lanes(x1f, 2)
     x1, st_d0 = _mem_chunk(p["down0_mem"], st["down0"], x1, act, base, t_end, warm)
@@ -642,7 +693,7 @@ def _denblock_chunk_folded(p, st, x, act, base, t_end, warm=False):
         None, 4,
     )
     y = lf.unfold_lanes(yf, 4)
-    y = y.at[..., :3].set(skip1 - y[..., :3])
+    y = _residual3(y, skip1)
     new_st = {
         "skip1": st_s1, "skip2": st_s2, "skip3": st_s3,
         "down0": st_d0, "down1": st_d1, "up2": st_u2, "up1": st_u1,
@@ -689,6 +740,15 @@ def chunk_step(
     (i.e. from the SHIFT_NUM-th frame on).  Output and state are
     bit-identical to warm=False in that regime; ~10 full-tensor
     elementwise passes per DenBlock disappear from the HBM-bound graph.
+
+    Warm steps additionally run the skip1/skip2 FIFOs as RING buffers
+    (T-frame in-place writes instead of rebuilding all 8 frames) when T
+    divides 8.  Ring alignment requires the first warm call at
+    state['t'] % 8 == 0 with the same T on every later call — satisfied
+    by the service contract (switch at 16 frames seen, uniform micro-
+    batch T | 8).  The resulting state is in ring order: pass it through
+    ring_to_fifo_state before handing it to a cold/flush executable
+    (upscale/service.py proc_eof does).
     """
     if warm and t_end is not None:
         raise ValueError("warm chunk_step is live-stream only (t_end=None)")

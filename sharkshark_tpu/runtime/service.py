@@ -65,6 +65,9 @@ class BaseService:
     ) -> None:
         self.job_queue: queue.Queue = queue.Queue(maxsize=job_queue_size)
         self.result_queue: queue.Queue = queue.Queue(maxsize=result_queue_size)
+        # jobs a proc_job_recieved override pulled ahead (coalescing) but
+        # could not use — consumed before job_queue, preserving order
+        self._stash: list = []
         self.name = name or type(self).__name__
         self._thread = threading.Thread(
             target=self._thread_main, daemon=True, name=self.name
@@ -131,7 +134,7 @@ class BaseService:
         return self.result_queue.get(timeout=timeout)
 
     def wait_for_job_clear(self) -> None:
-        while not self.job_queue.empty():
+        while self._stash or not self.job_queue.empty():
             time.sleep(self.poll_interval)
 
     def wait_eof(self, timeout: float | None = None) -> bool:
@@ -156,15 +159,18 @@ class BaseService:
         try:
             self.proc_init()
             while True:
-                try:
-                    job = self.job_queue.get(timeout=self.poll_interval)
-                except queue.Empty:
-                    # idle tick: stages with internal pipelining (e.g. the
-                    # upscaler's in-flight device ring) drain here so a
-                    # lone request is never parked waiting for a successor
-                    for entry in self.proc_idle():
-                        self._deliver(entry)
-                    continue
+                if self._stash:
+                    job = self._stash.pop(0)
+                else:
+                    try:
+                        job = self.job_queue.get(timeout=self.poll_interval)
+                    except queue.Empty:
+                        # idle tick: stages with internal pipelining (e.g.
+                        # the upscaler's in-flight device ring) drain here
+                        # so a lone request is never parked on a successor
+                        for entry in self.proc_idle():
+                            self._deliver(entry)
+                        continue
                 if job is _EXIT:
                     break
                 if isinstance(job, EOF):
@@ -176,7 +182,10 @@ class BaseService:
                     self._eof_seen.set()
                     break
                 entry = self.proc_job_recieved(job)
-                if entry is not None:
+                if isinstance(entry, list):
+                    for e in entry:
+                        self._deliver(e)
+                elif entry is not None:
                     self._deliver(entry)
         except BaseException as ex:  # noqa: BLE001 — reported via check_proc
             self._error = ex

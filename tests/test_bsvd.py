@@ -259,10 +259,48 @@ def test_chunk_step_warm_matches_cold():
     cold, st_cold = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG)
     warm, st_warm = bsvd.chunk_step(params, st, frames[16:20], cfg=CFG, warm=True)
     np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm))
+    # warm steps keep skip1/skip2 in ring order; normalize before comparing
+    st_warm = bsvd.ring_to_fifo_state(st_warm, CFG)
     for a, b in zip(
         jax.tree_util.tree_leaves(st_cold), jax.tree_util.tree_leaves(st_warm)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_then_flush_matches_clip():
+    """The service's exact stream shape: cold chunks -> warm chunks (ring
+    FIFOs) -> ring_to_fifo_state -> cold flush chunks.  The concatenated
+    outputs must equal denoise_clip on the whole clip bit-for-bit."""
+    import jax
+
+    params = bsvd.init_params(jax.random.PRNGKey(2), CFG)
+    T, H, W = 4, 8, 8
+    # 24: flush at t % 8 == 0 (normalization is a no-op); 28: flush at
+    # t % 8 == 4 (a real ring rotation)
+    for t_clip in (24, 28):
+        frames = jnp.asarray(
+            RNG.standard_normal((t_clip, 1, H, W, CFG.in_ch), dtype=np.float32)
+        )
+        ref = bsvd.denoise_clip(params, frames, cfg=CFG)
+
+        st = bsvd.init_chunk_state(1, H, W, CFG)
+        outs = []
+        for i in range(t_clip // T):
+            y, st = bsvd.chunk_step(
+                params, st, frames[i * T : (i + 1) * T], cfg=CFG, warm=i * T >= 16
+            )
+            outs.append(y)
+        st = bsvd.ring_to_fifo_state(st, CFG)
+        zeros = jnp.zeros((T,) + frames.shape[1:], frames.dtype)
+        for _ in range(bsvd.SHIFT_NUM // T):
+            y, st = bsvd.chunk_step(params, st, zeros, cfg=CFG, t_end=t_clip)
+            outs.append(y)
+        got = jnp.concatenate(outs, axis=0)[bsvd.SHIFT_NUM :]
+        # chunk-vs-scan accumulation order differs at ~3e-6 f32 (same
+        # drift as the all-cold chain); warm/ring must not add to it
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=2e-5
+        )
 
 
 def test_chunk_step_warm_lanefold_matches_cold(monkeypatch):
@@ -285,6 +323,7 @@ def test_chunk_step_warm_lanefold_matches_cold(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(warm), np.asarray(cold), rtol=0, atol=1e-4
     )
+    st_warm = bsvd.ring_to_fifo_state(st_warm, CFG)
     for a, b in zip(
         jax.tree_util.tree_leaves(st_cold), jax.tree_util.tree_leaves(st_warm)
     ):

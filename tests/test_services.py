@@ -221,3 +221,52 @@ def test_egvsr_service_chunk_gate_matches_per_frame(monkeypatch):
         np.testing.assert_allclose(
             out_a.astype(np.int16), out_b.astype(np.int16), atol=1
         )
+
+
+def test_request_coalescing_merges_same_shape_jobs():
+    """coalesce_max > 1 merges already-queued same-shape jobs into one
+    device dispatch and delivers one result entry per job, in order
+    (image-backend batching, VERDICT r4 item 6)."""
+    import time
+
+    from sharkshark_tpu.runtime import EOF
+    from sharkshark_tpu.upscale.service import (
+        BaseUpscalerService,
+        UpscalerQueueEntry,
+    )
+
+    dispatches = []
+
+    class Stub(BaseUpscalerService):
+        coalesce_max = 8
+
+        def upscale_dispatch(self, frames):
+            frames = np.asarray(frames)
+            dispatches.append(len(frames))
+            return frames.astype(np.float32) * 2.0, len(frames)
+
+    svc = Stub(name="stub")
+    results = []
+    svc.on_queue = results.append
+    rng = np.random.RandomState(7)
+    same = [rng.randint(0, 255, (1, 8, 8, 3), np.uint8) for _ in range(5)]
+    other = rng.randint(0, 255, (1, 4, 4, 3), np.uint8)
+    for i, f in enumerate(same[:4]):
+        svc.push_job(UpscalerQueueEntry(frames=f, step=i))
+    svc.push_job(UpscalerQueueEntry(frames=other, step=4))  # blocks merge
+    svc.push_job(UpscalerQueueEntry(frames=same[4], step=5))
+    svc.push_eof()
+    svc.start()
+    assert svc.wait_eof(timeout=10)
+    svc.join()
+
+    assert [r.step for r in results if isinstance(r, UpscalerQueueEntry)] == [
+        0, 1, 2, 3, 4, 5,
+    ]
+    assert isinstance(results[-1], EOF)
+    # jobs 0-3 merged into one dispatch; the 4x4 job broke the run
+    assert dispatches == [4, 1, 1]
+    for r, f in zip(results[:4], same[:4]):
+        np.testing.assert_array_equal(np.asarray(r.frames), f.astype(np.float32) * 2)
+    np.testing.assert_array_equal(np.asarray(results[4].frames), other.astype(np.float32) * 2)
+    np.testing.assert_array_equal(np.asarray(results[5].frames), same[4].astype(np.float32) * 2)
