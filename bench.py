@@ -138,7 +138,10 @@ def denoise_step_bench(window_s: float) -> float | None:
             lambda p, s, f, sb=sr_sub: upscale_batch_denoise(
                 lambda q, x: srvgg.apply_down2(q, x, cfg=cfg), p, s, f, spec,
                 warm=True, sr_sub_batch=sb,
-            )
+            ),
+            # state donation: the warm ring FIFOs update in place only
+            # when XLA may alias the carry (the service donates too)
+            donate_argnums=(1,),
         )
         state = init_denoise_state(1, spec)
         frames = jax.random.randint(

@@ -64,9 +64,25 @@ def blur(x: jnp.ndarray, kernel_size: int = 3, sigma: float = 0.5) -> jnp.ndarra
 
 
 def sharpen(x: jnp.ndarray, strength: float) -> jnp.ndarray:
-    """Depthwise sharpen with reflect padding (NHWC)."""
-    k = jnp.asarray(sharpen_kernel_2d(strength))
-    return depthwise_conv2d(x, k, padding=1, pad_mode="reflect")
+    """3x3 sharpen stencil with reflect padding (NHWC).
+
+    Same kernel as sharpen_kernel_2d — y = (1+8s)*x - s*sum(8 neighbours)
+    — but lowered as shifted adds instead of a depthwise conv: a C=3
+    depthwise conv is an HLO boundary that blocks XLA's elementwise
+    fusion with the surrounding post chain and runs on a slow conv path
+    (round-5 probe: the denoise post chain's two sharpens dominated its
+    cost at batch 8).  The shift form fuses into one traversal."""
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+    h, w = x.shape[-3], x.shape[-2]
+    nb = None
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            t = xp[..., dy : dy + h, dx : dx + w, :]
+            nb = t if nb is None else nb + t
+    s = jnp.asarray(strength, x.dtype)
+    return (1 + 8 * s) * x - s * nb
 
 
 def _chan_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

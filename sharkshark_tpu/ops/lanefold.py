@@ -91,7 +91,14 @@ def conv3x3_folded(
 
     xf: (N, H, W//f, f*ci); w: (3, 3, ci, co) unfolded HWIO.
     Returns (N, H, W//f, f*co).  Equals fold(conv2d(unfold(xf), w, b,
-    padding=1))."""
+    padding=1)).
+
+    Narrow-input note (measured-negative, round 5): a 9-tap im2col
+    lowering for f*ci <= 64 inputs (BSVD temp1 inc0 at 16 lanes) beats
+    this conv in ISOLATION (2.47 vs 2.77 ms/frame) but loses ~2.4
+    ms/frame inside the full warm chunk — the (N, H, Wp, 9*f*ci) tap
+    concat breaks XLA's fusion with the surrounding graph.  Plain/f8/f16
+    refolds are also worse; the f=4 folded conv stands."""
     wf = _fold3x3_weights(w, f).astype(xf.dtype)
     y = jax.lax.conv_general_dilated(
         xf, wf, (1, 1), ((1, 1), (1, 1)),

@@ -448,7 +448,8 @@ class EsrganUpscalerService(BaseUpscalerService):
                 )
             else:
                 self._batch_denoise_step = ShapeCache(
-                    lambda p, s, f: upscale_batch_denoise(
+                    donate_argnums=(1,),
+                    fn=lambda p, s, f: upscale_batch_denoise(
                         sr_apply, p, s, f, spec, self.bsvd_cfg,
                         sr_sub_batch=sr_sub,
                     )
@@ -457,13 +458,15 @@ class EsrganUpscalerService(BaseUpscalerService):
                 # in, every warm-up window mask is a provable identity and
                 # a mask-free graph is compiled (bsvd.chunk_step warm=True)
                 self._batch_denoise_step_warm = ShapeCache(
-                    lambda p, s, f: upscale_batch_denoise(
+                    donate_argnums=(1,),
+                    fn=lambda p, s, f: upscale_batch_denoise(
                         sr_apply, p, s, f, spec, self.bsvd_cfg, warm=True,
                         sr_sub_batch=sr_sub,
                     )
                 )
                 self._flush_step = ShapeCache(
-                    lambda p, s, f, te: flush_batch_denoise(
+                    donate_argnums=(1,),
+                    fn=lambda p, s, f, te: flush_batch_denoise(
                         sr_apply, p, s, f, te, spec, self.bsvd_cfg
                     )
                 )

@@ -192,10 +192,13 @@ def upscale_single_denoise(
 
     den, new_state = bsvd.stream_step(params["denoise"], state, x4, cfg=cfg)
     den = _bsvd_crop(den, spec)
-    den = jnp.clip(sharpen(den.astype(jnp.float32), 0.00002), 0.0, 1.0)
+    # post chain runs in compute_dtype end-to-end, like upscale_multi and
+    # the reference's fp16 amp region (:169-233) — the f32 promotion here
+    # cost ~0.7 ms/frame of full-res HBM passes (round-5 profile)
+    den = jnp.clip(sharpen(den.astype(spec.compute_dtype), 0.00002), 0.0, 1.0)
     lr = den * spec.denoise_opacity + (1.0 - spec.denoise_opacity) * lr
 
-    hr = sr_apply(params["sr"], lr.astype(spec.compute_dtype)).astype(jnp.float32)
+    hr = sr_apply(params["sr"], lr.astype(spec.compute_dtype))
     hr = jnp.clip(sharpen(hr, 0.00007), 0.0, 1.0)
 
     hr = global_color_match(hr, lr_before)
@@ -274,10 +277,11 @@ def _denoise_postproc(sr_apply, params, den, lr, lr_before, spec: UpscaleSpec):
     against the pre-denoise LR, SR, HR sharpen, global color match,
     output resize, uint8 (reference upscale_single :279-326)."""
     den = _bsvd_crop(den, spec)
-    den = jnp.clip(sharpen(den.astype(jnp.float32), 0.00002), 0.0, 1.0)
+    # compute_dtype post chain (see upscale_single_denoise note)
+    den = jnp.clip(sharpen(den.astype(spec.compute_dtype), 0.00002), 0.0, 1.0)
     lr = den * spec.denoise_opacity + (1.0 - spec.denoise_opacity) * lr
 
-    hr = sr_apply(params["sr"], lr.astype(spec.compute_dtype)).astype(jnp.float32)
+    hr = sr_apply(params["sr"], lr.astype(spec.compute_dtype))
     hr = jnp.clip(sharpen(hr, 0.00007), 0.0, 1.0)
     hr = global_color_match(hr, lr_before)
     hr = jnp.clip(hr, 0.0, 1.0)
