@@ -23,6 +23,7 @@ import numpy as np
 from ..ops import (
     backward_warp,
     backward_warp_fast,
+    pixel_shuffle_folded_dil,
     pixel_shuffle_mxu,
     conv2d,
     leaky_relu,
@@ -232,7 +233,9 @@ def _srnet_body_folded(p: dict, yf: jnp.ndarray) -> jnp.ndarray:
         yf = conv3x3_folded(r, blk[1]["w"], blk[1]["b"], 2) + yf
     w_lr, b_lr, _pad = _fold_conv_out(p["conv_out"]["w"], p["conv_out"]["b"], 4)
     zf = conv3x3_folded(jnp.maximum(yf, 0), w_lr, b_lr, 2)
-    return pixel_shuffle_mxu(unfold_lanes(zf, 2), 4)
+    # ps4 as an (r,1) lhs-dilated one-hot on the still-folded z: no
+    # transpose, no 3-lane HR conv (18.4 -> 12.5 ms tail, round-5 probe)
+    return unfold_lanes(pixel_shuffle_folded_dil(zf, 4, 2), 8)
 
 
 def srnet_apply(params: dict, lr_curr: jnp.ndarray, hr_prev_tran: jnp.ndarray) -> jnp.ndarray:

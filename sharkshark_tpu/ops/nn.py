@@ -187,6 +187,41 @@ def pixel_shuffle_mxu(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     )
 
 
+def pixel_shuffle_folded_dil(zf: jnp.ndarray, r: int, f: int) -> jnp.ndarray:
+    """PixelShuffle(r) on a W-folded tensor via ONE (r,1) lhs-dilated
+    one-hot conv: the H-upsample rides the conv's input dilation (each
+    kernel row serves exactly one output-row parity) and the W-shuffle
+    stays in lanes, so no transpose and no HR-resolution 3-lane conv.
+
+    zf: (N, H, Wp, f*c) with c = co*r*r -> (N, r*H, Wp, f*r*co), i.e.
+    the shuffled HR image W-folded by f*r (unfold_lanes(out, f*r) is the
+    canonical HR frame).  Bit-identical to
+    fold(pixel_shuffle(unfold(zf, f), r), f*r); measured 18.4 -> 12.5 ms
+    for EGVSR's conv_out+ps4 tail at 720p->4x (round-5 probe)."""
+    import numpy as _np
+
+    n, h, wp, fc = zf.shape
+    c = fc // f
+    co = c // (r * r)
+    wz = _np.zeros((r, 1, f * c, f * r * co), _np.float32)
+    for a in range(r):
+        k = (r - 1) - a
+        for u in range(f):
+            for b in range(r):
+                for ch in range(co):
+                    cin = (ch * r + a) * r + b
+                    wz[k, 0, u * c + cin, (r * u + b) * co + ch] = 1.0
+    return jax.lax.conv_general_dilated(
+        zf,
+        jnp.asarray(wz, zf.dtype),
+        window_strides=(1, 1),
+        padding=((r - 1, r - 1), (0, 0)),
+        lhs_dilation=(r, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_onehot_precision(zf.dtype),
+    )
+
+
 def _onehot_precision(dtype):
     """One-hot relayout matmuls move values exactly only if the MXU does
     not round the inputs: f32 operands need Precision.HIGHEST (the TPU
@@ -214,17 +249,24 @@ def space_to_depth_mxu(x: jnp.ndarray, factor: int) -> jnp.ndarray:
 
     The (w, c) -> (w/r, r*c) reshape already yields lane order dx*c + c_in;
     the conv's kernel (r, 1) with stride (r, 1) lifts row offset dy into
-    the lane dim at block-offset-major order (dy*(r*c) + dx*c + c_in)."""
+    the lane dim at block-offset-major order (dy*(r*c) + dx*c + c_in).
+
+    When W divides by 4r, FOUR output column groups ride each conv
+    position instead (input view (.., w/4r, 4rc) — 48 lanes at c=3
+    instead of 12, so the operand's HBM lane padding drops from 10.7x to
+    2.7x; measured 12.8 -> 10.7 ms at 2880x5120, bit-identical)."""
     import numpy as _np
 
     n, h, w, c = x.shape
     r = factor
-    xf = x.reshape(n, h, w // r, r * c)
-    w_oh = _np.zeros((r, 1, r * c, r * r * c), _np.float32)
-    for dy in range(r):
-        for i in range(r * c):
-            w_oh[dy, 0, i, dy * r * c + i] = 1.0
-    return jax.lax.conv_general_dilated(
+    k = 4 if w % (4 * r) == 0 else 1
+    xf = x.reshape(n, h, w // (k * r), k * r * c)
+    w_oh = _np.zeros((r, 1, k * r * c, k * r * r * c), _np.float32)
+    for g in range(k):
+        for dy in range(r):
+            for i in range(r * c):
+                w_oh[dy, 0, g * r * c + i, g * r * r * c + dy * r * c + i] = 1.0
+    y = jax.lax.conv_general_dilated(
         xf,
         jnp.asarray(w_oh, x.dtype),
         window_strides=(r, 1),
@@ -232,6 +274,7 @@ def space_to_depth_mxu(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_onehot_precision(x.dtype),
     )
+    return y.reshape(n, h // r, w // r, r * r * c)
 
 
 def pairfold_conv_weights(w: jnp.ndarray, ci_pad: int = 32) -> jnp.ndarray:

@@ -183,3 +183,36 @@ def test_pixel_shuffle_mxu_bit_identical():
         b = pixel_shuffle_mxu(x, r)
         assert a.shape == b.shape
         assert bool(jnp.all(a == b))
+
+
+def test_pixel_shuffle_folded_dil_matches_reshape():
+    """The lhs-dilated folded PixelShuffle == fold(pixel_shuffle(unfold))
+    exactly (one-hot relayout, HIGHEST precision at f32)."""
+    from sharkshark_tpu.ops import pixel_shuffle, pixel_shuffle_folded_dil
+    from sharkshark_tpu.ops.lanefold import fold_lanes, unfold_lanes
+
+    rng = np.random.default_rng(0)
+    for r, f, co, h, wp in ((4, 2, 3, 8, 8), (2, 2, 4, 6, 10), (4, 1, 2, 4, 16)):
+        zf = jnp.asarray(
+            rng.standard_normal((1, h, wp, f * co * r * r), dtype=np.float32)
+        )
+        got = unfold_lanes(pixel_shuffle_folded_dil(zf, r, f), f * r)
+        ref = pixel_shuffle(unfold_lanes(zf, f), r)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_space_to_depth_mxu_wide_view():
+    """The 4-column-group one-hot s2d (W % 4r == 0) is bit-identical to
+    the reshape form."""
+    from sharkshark_tpu.ops import space_to_depth, space_to_depth_mxu
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 64, 3), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(space_to_depth_mxu(x, 4)), np.asarray(space_to_depth(x, 4))
+    )
+    # non-multiple-of-4r width exercises the k=1 fallback
+    x2 = jnp.asarray(rng.standard_normal((1, 8, 24, 3), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(space_to_depth_mxu(x2, 4)), np.asarray(space_to_depth(x2, 4))
+    )
