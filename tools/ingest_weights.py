@@ -68,10 +68,13 @@ def validate(model: str, path: str) -> None:
         )
         assert out.shape == (1, 8, 8, cfg.out_ch)
     elif model == "egvsr":
-        params = egvsr.from_torch(sd)
+        # infer nb/nf/degradation from the file itself — the reference's
+        # production EGVSR_iter420000.pth is nb=10, not the class default
+        cfg = egvsr.config_from_torch(sd)
+        params = egvsr.from_torch(sd, cfg)
         st = egvsr.init_recurrent_state(1, 8, 8)
         out, _ = egvsr.infer_step(params, st, jnp.zeros((1, 8, 8, 3)),
-                                  fast_warp=False)
+                                  cfg=cfg, fast_warp=False)
         assert out.shape == (1, 32, 32, 3)
     else:
         raise SystemExit(f"unknown model {model!r}; choose from "
